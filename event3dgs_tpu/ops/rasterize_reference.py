@@ -1,0 +1,112 @@
+"""Reference (slow) rasterizer: depth-sorted alpha compositing in pure jnp.
+
+The correctness oracle for the production tiled kernels.  No tiling, no
+binning: Gaussians are globally sorted by depth and composited front-to-back
+over *all* pixels in chunks along the Gaussian axis, with JAX autodiff
+providing exact gradients.  Numerics follow the upstream 3DGS kernel
+conventions documented in SURVEY §2.3:
+
+- per-pixel weight ``α = min(0.99, opacity · exp(power))`` with
+  ``power = -½(a·dx² + c·dy²) - b·dx·dy`` from the conic;
+- contributions with ``power > 0`` or ``α < 1/255`` are skipped;
+- compositing stops (per pixel) once transmittance would drop below 1e-4 —
+  the triggering Gaussian is *not* composited;
+- the background is blended with the final transmittance.
+
+Runs fine on CPU for test-sized scenes; not intended for production use.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from event3dgs_tpu.ops.projection import ProjectedGaussians
+
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+
+
+def rasterize_reference(
+    proj: ProjectedGaussians,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    background: jnp.ndarray,
+    width: int,
+    height: int,
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """Composite projected Gaussians into an image.
+
+    Args:
+        proj: projected Gaussians (see :func:`project_gaussians`).
+        colors: [N, 3] per-Gaussian RGB (already SH-evaluated and clamped).
+        opacities: [N] activated opacities in [0, 1].
+        background: [3] background color.
+        width, height: static image dims.
+        chunk: Gaussian-axis chunk size for the compositing scan.
+
+    Returns:
+        [height, width, 3] image.
+    """
+    n = proj.mean2d.shape[0]
+    n_pad = (-n) % chunk
+    total = n + n_pad
+
+    order = jnp.argsort(proj.depth)  # +inf depths (culled) sort last
+    mean2d = jnp.pad(proj.mean2d[order], ((0, n_pad), (0, 0)))
+    conic = jnp.pad(proj.conic[order], ((0, n_pad), (0, 0)))
+    valid = jnp.pad(proj.valid[order], (0, n_pad))
+    col = jnp.pad(colors[order], ((0, n_pad), (0, 0)))
+    opa = jnp.pad(opacities[order], (0, n_pad)) * valid
+
+    px = jnp.arange(width, dtype=jnp.float32)[None, :]  # [1, W]
+    py = jnp.arange(height, dtype=jnp.float32)[:, None]  # [H, 1]
+    npix = height * width
+    pxf = jnp.broadcast_to(px, (height, width)).reshape(npix)
+    pyf = jnp.broadcast_to(py, (height, width)).reshape(npix)
+
+    def composite_chunk(carry, xs):
+        rgb, T = carry  # [P, 3], [P]
+        m2d, con, c_rgb, c_opa = xs
+        dx = m2d[None, :, 0] - pxf[:, None]  # [P, K]
+        dy = m2d[None, :, 1] - pyf[:, None]
+        power = (
+            -0.5 * (con[None, :, 0] * dx * dx + con[None, :, 2] * dy * dy)
+            - con[None, :, 1] * dx * dy
+        )
+        alpha = jnp.minimum(ALPHA_MAX, c_opa[None, :] * jnp.exp(power))
+        alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
+
+        # Early-stop semantics: the Gaussian that would push T below T_EPS
+        # and everything behind it are dropped (discrete decision — no
+        # gradient through the mask, same as the CUDA kernel).
+        one_minus = 1.0 - alpha
+        T_incl = T[:, None] * jnp.cumprod(one_minus, axis=1)
+        stopped = jax.lax.stop_gradient(
+            jnp.cumsum((T_incl < T_EPS).astype(alpha.dtype), axis=1) > 0
+        )
+        alpha = jnp.where(stopped, 0.0, alpha)
+
+        one_minus = 1.0 - alpha
+        # Exclusive transmittance inside the chunk.
+        T_excl = jnp.concatenate(
+            [jnp.ones_like(T)[:, None], jnp.cumprod(one_minus[:, :-1], axis=1)],
+            axis=1,
+        )
+        w = alpha * T[:, None] * T_excl  # [P, K]
+        rgb = rgb + jnp.matmul(w, c_rgb, precision=jax.lax.Precision.HIGHEST)
+        T = T * jnp.prod(one_minus, axis=1)
+        return (rgb, T), None
+
+    init = (jnp.zeros((npix, 3)), jnp.ones((npix,)))
+    xs = (
+        mean2d.reshape(total // chunk, chunk, 2),
+        conic.reshape(total // chunk, chunk, 3),
+        col.reshape(total // chunk, chunk, 3),
+        opa.reshape(total // chunk, chunk),
+    )
+    (rgb, T), _ = jax.lax.scan(composite_chunk, init, xs)
+    rgb = rgb + T[:, None] * background[None, :]
+    return rgb.reshape(height, width, 3)
