@@ -55,6 +55,7 @@ def project_gaussians(
     camera: Camera,
     scaling_modifier: float = 1.0,
     cov3d: jnp.ndarray | None = None,
+    opacities: jnp.ndarray | None = None,
 ) -> ProjectedGaussians:
     """Project N Gaussians into a camera's screen space.
 
@@ -66,6 +67,11 @@ def project_gaussians(
         scaling_modifier: global scale multiplier.
         cov3d: optional [N, 3, 3] precomputed world covariance (overrides
             scales/rotations, mirroring the reference's `cov3D_precomp` path).
+        opacities: optional [N] activated opacities; when given, Gaussians
+            with opacity < 1/255 are culled — they can never pass the
+            rasterizer's minimum-alpha cutoff, so this is exact.  This is how
+            dead (alive-mask=False) slots of the fixed-capacity model are
+            skipped for free.
 
     Returns:
         :class:`ProjectedGaussians`.
@@ -136,6 +142,8 @@ def project_gaussians(
         & (mean2d[:, 1] - radius < camera.height)
     )
     valid = in_front & det_ok & on_screen
+    if opacities is not None:
+        valid = valid & (jax.lax.stop_gradient(opacities) >= 1.0 / 255.0)
 
     depth = jnp.where(valid, tz, jnp.inf)
     radius = jnp.where(valid, radius, 0.0)

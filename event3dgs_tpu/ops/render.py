@@ -93,7 +93,12 @@ def render(
             (the reference's `override_color`, used by depth rendering).
     """
     proj = project_gaussians(
-        means3d, scales, rotations, camera, scaling_modifier=scaling_modifier
+        means3d,
+        scales,
+        rotations,
+        camera,
+        scaling_modifier=scaling_modifier,
+        opacities=opacities,
     )
     if mean2d_tap is not None:
         proj = proj._replace(mean2d=proj.mean2d + mean2d_tap)

@@ -1,0 +1,145 @@
+"""End-to-end training slice: the synthetic scene must be learnable.
+
+The CPU-runnable analogue of BASELINE config 1 (train_colmap_easy, 500 iters,
+no densification → here fewer iters at small resolution for CI speed).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from event3dgs_tpu.data.synthetic import make_synthetic_scene
+from event3dgs_tpu.losses import psnr
+from event3dgs_tpu.models import activated, init_from_point_cloud, num_alive
+from event3dgs_tpu.ops import render
+from event3dgs_tpu.train import (
+    SceneData,
+    init_train_state,
+    make_train_step,
+    train_loop,
+)
+from event3dgs_tpu.utils.config import TrainConfig, OptimizationConfig
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_synthetic_scene(n_gaussians=60, n_views=12, width=64, height=48)
+
+
+def build_state(scene, capacity=128, contrast=0.17):
+    params = init_from_point_cloud(
+        scene.points, scene.colors, capacity=capacity, max_sh_degree=3
+    )
+    return init_train_state(params, spatial_lr_scale=scene.extent, contrast_init=contrast)
+
+
+def render_view(state, scene, idx):
+    act = activated(state.params)
+    cam = jax.tree.map(lambda x: x[idx], scene.cameras)
+    return render(
+        act.means3d, act.features, act.opacities, act.scales, act.rotations,
+        cam, jnp.zeros(3), sh_degree=3,
+    ).image
+
+
+class TestTrainStep:
+    def test_single_step_improves_loss(self, scene):
+        state = build_state(scene)
+        data = SceneData(cameras=scene.cameras, images=scene.images)
+        cfg = TrainConfig()
+        step = make_train_step("rgb", cfg.optimization, cfg.event,
+                               spatial_lr_scale=state.spatial_lr_scale)
+        idx = jnp.asarray(3)
+        bg = jnp.zeros(3)
+        losses = []
+        for _ in range(12):
+            state, m = step(state, data, idx, idx, idx, bg)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 12
+
+    def test_event_step_updates_contrast(self, scene):
+        state = build_state(scene)
+        data = SceneData(
+            cameras=scene.cameras,
+            images=scene.images,
+            event_cameras=scene.cameras,
+            event_images=scene.images,
+        )
+        cfg = TrainConfig()
+        step = make_train_step("event", cfg.optimization, cfg.event,
+                               spatial_lr_scale=state.spatial_lr_scale)
+        c0 = float(state.contrast)
+        state, m = step(state, data, jnp.asarray(3), jnp.asarray(3),
+                        jnp.asarray(4), jnp.zeros(3))
+        assert float(state.contrast) != c0
+        assert np.isfinite(float(m["loss"]))
+        assert 0.0 <= float(m["coverage"]) <= 1.0
+
+    def test_stats_accumulate(self, scene):
+        state = build_state(scene)
+        data = SceneData(cameras=scene.cameras, images=scene.images)
+        cfg = TrainConfig()
+        step = make_train_step("rgb", cfg.optimization, cfg.event,
+                               spatial_lr_scale=state.spatial_lr_scale)
+        state, _ = step(state, data, jnp.asarray(0), jnp.asarray(0),
+                        jnp.asarray(0), jnp.zeros(3))
+        assert float(jnp.sum(state.stats.denom)) > 0
+        assert float(jnp.sum(state.stats.grad_accum)) > 0
+        # dead slots accumulate nothing
+        assert float(jnp.sum(state.stats.denom[60:])) == 0.0
+
+
+class TestTrainLoop:
+    def test_rgb_slice_reaches_psnr(self, scene):
+        state = build_state(scene)
+        data = SceneData(cameras=scene.cameras, images=scene.images)
+        cfg = TrainConfig(
+            optimization=OptimizationConfig(
+                densify_from_iter=30, densification_interval=40,
+                densify_until_iter=120, opacity_reset_interval=100000,
+            )
+        )
+        p0 = float(psnr(render_view(state, scene, 3), scene.images[3]))
+        result = train_loop(state, data, cfg, mode="rgb",
+                            extent=scene.extent, iterations=150)
+        p1 = float(psnr(render_view(result.state, scene, 3), scene.images[3]))
+        assert p1 > p0 + 3.0, (p0, p1)
+        assert np.isfinite(result.history).all()
+
+    def test_event_slice_trains(self, scene):
+        state = build_state(scene)
+        data = SceneData(
+            cameras=scene.cameras,
+            images=scene.images,
+            event_cameras=scene.cameras,
+            event_images=scene.images,
+        )
+        cfg = TrainConfig(
+            optimization=OptimizationConfig(
+                densify_from_iter=1000, densify_until_iter=0,
+            )
+        )
+        result = train_loop(state, data, cfg, mode="event",
+                            extent=scene.extent, iterations=60)
+        head = np.mean(result.history[:10])
+        tail = np.mean(result.history[-10:])
+        assert tail < head, (head, tail)
+        assert float(result.state.contrast) != 0.17
+
+    def test_densification_grows_model(self, scene):
+        state = build_state(scene, capacity=256)
+        data = SceneData(cameras=scene.cameras, images=scene.images)
+        cfg = TrainConfig(
+            optimization=OptimizationConfig(
+                densify_from_iter=10, densification_interval=20,
+                densify_until_iter=100, densify_grad_threshold=1e-6,
+                opacity_reset_interval=100000,
+            )
+        )
+        n0 = int(num_alive(state.params))
+        result = train_loop(state, data, cfg, mode="rgb",
+                            extent=scene.extent, iterations=60)
+        n1 = int(num_alive(result.state.params))
+        assert n1 > n0, (n0, n1)
