@@ -1,0 +1,166 @@
+"""Tile binning: depth-sorted instance expansion with static shapes.
+
+The CUDA rasterizer builds per-tile Gaussian lists with a (tile|depth)-key
+radix sort over a dynamically-sized instance buffer (SURVEY §2.3).  The
+TPU-native equivalent here is fully static-shape XLA:
+
+1. Gaussians are depth-sorted **once** globally (`argsort`).
+2. Each Gaussian's covered tile-rect is expanded into *instances* via a
+   gather: instance *i* finds its source Gaussian with a `searchsorted` into
+   the running-offset table, so no dynamic allocation is needed — just a
+   fixed `instance_cap` budget (overflow is counted and reported).
+3. Instances (created in depth order) are stably sorted by tile id; within a
+   tile they therefore remain depth-ordered.
+4. The per-tile ranges are **padded to chunk multiples** into a second,
+   slightly larger buffer, so the rasterizer kernel can DMA fixed-size
+   (16 × chunk) slabs that never cross tile boundaries.  Pad slots point at
+   a sentinel Gaussian (index N) with zero opacity.
+
+All arrays here are index/bookkeeping data — gradients never flow through
+binning (the caller wraps it in stop_gradient).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+TILE_H = 8
+TILE_W = 128
+
+# Packed per-instance attribute rows (see pack_instances).
+ROW_MX, ROW_MY = 0, 1
+ROW_CA, ROW_CB, ROW_CC = 2, 3, 4
+ROW_OPA = 5
+ROW_R, ROW_G, ROW_B = 6, 7, 8
+PACK_ROWS = 16  # padded to a sublane multiple
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class Binning(NamedTuple):
+    inst_gauss: jnp.ndarray  # [padded_cap] gaussian index per instance (N = pad)
+    tile_offsets: jnp.ndarray  # [T] start of each tile's padded range
+    tile_chunks: jnp.ndarray  # [T] number of chunk-sized slabs per tile
+    overflow: jnp.ndarray  # scalar: instances dropped (budget exceeded)
+    num_tiles_x: int
+    num_tiles_y: int
+    padded_cap: int
+
+
+def tile_grid(width: int, height: int) -> tuple[int, int]:
+    return cdiv(width, TILE_W), cdiv(height, TILE_H)
+
+
+def bin_gaussians(
+    mean2d: jnp.ndarray,  # [N, 2]
+    depth: jnp.ndarray,  # [N] (+inf for culled)
+    radius: jnp.ndarray,  # [N] (0 for culled)
+    valid: jnp.ndarray,  # [N] bool
+    width: int,
+    height: int,
+    instance_cap: int,
+    chunk: int,
+) -> Binning:
+    n = mean2d.shape[0]
+    tiles_x, tiles_y = tile_grid(width, height)
+    num_tiles = tiles_x * tiles_y
+
+    # --- tile rects (in tile units), CUDA getRect conventions -------------
+    mx, my = mean2d[:, 0], mean2d[:, 1]
+    x0 = jnp.clip(jnp.floor((mx - radius) / TILE_W), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - radius) / TILE_H), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(
+        jnp.floor((mx + radius + TILE_W - 1) / TILE_W), 0, tiles_x
+    ).astype(jnp.int32)
+    y1 = jnp.clip(
+        jnp.floor((my + radius + TILE_H - 1) / TILE_H), 0, tiles_y
+    ).astype(jnp.int32)
+    rw = jnp.maximum(x1 - x0, 0)
+    rh = jnp.maximum(y1 - y0, 0)
+    counts = jnp.where(valid, rw * rh, 0)
+
+    # --- global depth sort -------------------------------------------------
+    order = jnp.argsort(depth)  # +inf (culled) last
+    counts_o = counts[order]
+    offsets = jnp.concatenate([jnp.zeros(1, counts_o.dtype), jnp.cumsum(counts_o)])
+    total = offsets[-1]
+
+    # --- instance expansion (gather-based, static instance_cap) -----------
+    inst = jnp.arange(instance_cap, dtype=jnp.int32)
+    grank = jnp.clip(
+        jnp.searchsorted(offsets, inst, side="right") - 1, 0, n - 1
+    )
+    live = inst < jnp.minimum(total, instance_cap)
+    g = order[grank]
+    j = inst - offsets[grank]
+    grw = jnp.maximum(rw[g], 1)
+    tx = x0[g] + j % grw
+    ty = y0[g] + j // grw
+    tile = jnp.where(live, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+    g = jnp.where(live, g, n).astype(jnp.int32)
+
+    # --- stable sort by tile (preserves depth order within a tile) --------
+    sort_idx = jnp.argsort(tile, stable=True)
+    s_tile = tile[sort_idx]
+    s_g = g[sort_idx]
+
+    tid = jnp.arange(num_tiles, dtype=jnp.int32)
+    t_start = jnp.searchsorted(s_tile, tid, side="left").astype(jnp.int32)
+    t_end = jnp.searchsorted(s_tile, tid, side="right").astype(jnp.int32)
+    t_count = t_end - t_start
+
+    # --- pad each tile's range to a chunk multiple ------------------------
+    padded_counts = ((t_count + chunk - 1) // chunk) * chunk
+    p_offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
+    )
+    padded_cap = instance_cap + num_tiles * chunk  # static upper bound
+
+    pos_in_tile = jnp.arange(instance_cap, dtype=jnp.int32) - t_start[
+        jnp.clip(s_tile, 0, num_tiles - 1)
+    ]
+    dest = jnp.where(
+        s_tile < num_tiles,
+        p_offsets[jnp.clip(s_tile, 0, num_tiles - 1)] + pos_in_tile,
+        padded_cap,
+    )
+    inst_gauss = jnp.full((padded_cap,), n, jnp.int32).at[dest].set(
+        s_g, mode="drop"
+    )
+
+    return Binning(
+        inst_gauss=inst_gauss,
+        tile_offsets=p_offsets[:num_tiles],
+        tile_chunks=(padded_counts // chunk).astype(jnp.int32),
+        overflow=jnp.maximum(total - instance_cap, 0),
+        num_tiles_x=tiles_x,
+        num_tiles_y=tiles_y,
+        padded_cap=padded_cap,
+    )
+
+
+def pack_instances(
+    binning: Binning,
+    mean2d: jnp.ndarray,  # [N, 2]
+    conic: jnp.ndarray,  # [N, 3]
+    colors: jnp.ndarray,  # [N, 3]
+    opacities: jnp.ndarray,  # [N]
+) -> jnp.ndarray:
+    """Gather per-instance attributes into a [PACK_ROWS, padded_cap] slab.
+
+    Attribute-major layout: the kernel's per-chunk DMA is one contiguous,
+    lane-aligned (16, chunk) block whose *rows* are attributes — attribute
+    row vectors broadcast directly against pixel sublane columns without any
+    in-kernel transpose.  The sentinel Gaussian (index N) has opacity 0.
+    """
+    n = mean2d.shape[0]
+    attrs = jnp.concatenate(
+        [mean2d, conic, opacities[:, None], colors], axis=1
+    )  # [N, 9]
+    attrs = jnp.concatenate([attrs, jnp.zeros((1, attrs.shape[1]))], axis=0)
+    gathered = attrs[binning.inst_gauss].astype(jnp.float32)  # [padded_cap, 9]
+    return jnp.pad(gathered.T, ((0, PACK_ROWS - attrs.shape[1]), (0, 0)))

@@ -11,7 +11,10 @@ conventions documented in SURVEY §2.3:
 - contributions with ``power > 0`` or ``α < 1/255`` are skipped;
 - compositing stops (per pixel) once transmittance would drop below 1e-4 —
   the triggering Gaussian is *not* composited;
-- the background is blended with the final transmittance.
+- the background is blended with the final transmittance;
+- a Gaussian only touches pixels whose tile lies inside its 3σ tile-rect
+  (the tile-binned kernels — CUDA's and ours — share this support cutoff,
+  so the oracle replicates it for bitwise-comparable semantics).
 
 Runs fine on CPU for test-sized scenes; not intended for production use.
 """
@@ -21,6 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from event3dgs_tpu.ops.binning import TILE_H, TILE_W
 from event3dgs_tpu.ops.projection import ProjectedGaussians
 
 ALPHA_MAX = 0.99
@@ -60,24 +64,38 @@ def rasterize_reference(
     valid = jnp.pad(proj.valid[order], (0, n_pad))
     col = jnp.pad(colors[order], ((0, n_pad), (0, 0)))
     opa = jnp.pad(opacities[order], (0, n_pad)) * valid
+    radius = jnp.pad(proj.radius[order], (0, n_pad))
 
     px = jnp.arange(width, dtype=jnp.float32)[None, :]  # [1, W]
     py = jnp.arange(height, dtype=jnp.float32)[:, None]  # [H, 1]
     npix = height * width
     pxf = jnp.broadcast_to(px, (height, width)).reshape(npix)
     pyf = jnp.broadcast_to(py, (height, width)).reshape(npix)
+    # each pixel's tile coordinates, for the tile-rect support cutoff
+    ptx = jnp.floor(pxf / TILE_W)
+    pty = jnp.floor(pyf / TILE_H)
 
     def composite_chunk(carry, xs):
         rgb, T = carry  # [P, 3], [P]
-        m2d, con, c_rgb, c_opa = xs
+        m2d, con, c_rgb, c_opa, rad = xs
         dx = m2d[None, :, 0] - pxf[:, None]  # [P, K]
         dy = m2d[None, :, 1] - pyf[:, None]
+        # tile-rect support: pixel's tile must be in [floor((m-r)/T),
+        # floor((m+r+T-1)/T)) — matching ops/binning.py getRect semantics
+        in_rect = (
+            (ptx[:, None] >= jnp.floor((m2d[None, :, 0] - rad[None, :]) / TILE_W))
+            & (ptx[:, None] < jnp.floor((m2d[None, :, 0] + rad[None, :] + TILE_W - 1) / TILE_W))
+            & (pty[:, None] >= jnp.floor((m2d[None, :, 1] - rad[None, :]) / TILE_H))
+            & (pty[:, None] < jnp.floor((m2d[None, :, 1] + rad[None, :] + TILE_H - 1) / TILE_H))
+        )
         power = (
             -0.5 * (con[None, :, 0] * dx * dx + con[None, :, 2] * dy * dy)
             - con[None, :, 1] * dx * dy
         )
         alpha = jnp.minimum(ALPHA_MAX, c_opa[None, :] * jnp.exp(power))
-        alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
+        alpha = jnp.where(
+            (power > 0.0) | (alpha < ALPHA_MIN) | ~in_rect, 0.0, alpha
+        )
 
         # Early-stop semantics: the Gaussian that would push T below T_EPS
         # and everything behind it are dropped (discrete decision — no
@@ -106,6 +124,7 @@ def rasterize_reference(
         conic.reshape(total // chunk, chunk, 3),
         col.reshape(total // chunk, chunk, 3),
         opa.reshape(total // chunk, chunk),
+        radius.reshape(total // chunk, chunk),
     )
     (rgb, T), _ = jax.lax.scan(composite_chunk, init, xs)
     rgb = rgb + T[:, None] * background[None, :]

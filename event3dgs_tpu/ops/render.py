@@ -61,7 +61,9 @@ def gaussian_colors(
     return jnp.maximum(rgb + 0.5, 0.0)
 
 
-@partial(jax.jit, static_argnames=("sh_degree", "scaling_modifier"))
+@partial(
+    jax.jit, static_argnames=("sh_degree", "scaling_modifier", "rasterizer")
+)
 def render(
     means3d: jnp.ndarray,
     features: jnp.ndarray,
@@ -74,6 +76,7 @@ def render(
     scaling_modifier: float = 1.0,
     mean2d_tap: jnp.ndarray | None = None,
     override_colors: jnp.ndarray | None = None,
+    rasterizer: str = "reference",
 ) -> RenderOutput:
     """Render one view with the reference-path rasterizer.
 
@@ -91,6 +94,8 @@ def render(
             screen-space mean gradients used for densification.
         override_colors: optional [N, 3] RGB bypassing SH evaluation
             (the reference's `override_color`, used by depth rendering).
+        rasterizer: "reference" (slow jnp oracle) or "tiled" (Pallas
+            production path).
     """
     proj = project_gaussians(
         means3d,
@@ -106,9 +111,16 @@ def render(
         colors = gaussian_colors(sh_degree, features, means3d, camera.camera_center)
     else:
         colors = override_colors
-    image = rasterize_reference(
-        proj, colors, opacities, background, camera.width, camera.height
-    )
+    if rasterizer == "tiled":
+        from event3dgs_tpu.ops.rasterize_tiled import rasterize_tiled
+
+        image = rasterize_tiled(
+            proj, colors, opacities, background, camera.width, camera.height
+        )
+    else:
+        image = rasterize_reference(
+            proj, colors, opacities, background, camera.width, camera.height
+        )
     return RenderOutput(image=image, radii=proj.radius, visibility=proj.valid)
 
 

@@ -97,6 +97,7 @@ def train_loop(
         ev,
         max_sh_degree=state.max_sh_degree,
         spatial_lr_scale=state.spatial_lr_scale,
+        rasterizer=cfg.pipeline.rasterizer,
     )
     densify_fn = make_densify_step(opt, extent)
 

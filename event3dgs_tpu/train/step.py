@@ -79,6 +79,7 @@ def make_train_step(
     event_cfg: EventConfig,
     max_sh_degree: int = 3,
     spatial_lr_scale: float = 1.0,
+    rasterizer: str = "reference",
 ) -> Callable:
     """Build the compiled train step for a training mode."""
     if mode not in MODES:
@@ -116,6 +117,7 @@ def make_train_step(
                 bg,
                 sh_degree=max_sh_degree,
                 mean2d_tap=tap,
+                rasterizer=rasterizer,
             )
 
         def loss_fn(train_tree, contrast, tap):

@@ -1,0 +1,117 @@
+"""Tiled (Pallas) rasterizer vs. the slow oracle: forward + gradient allclose."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from event3dgs_tpu.core import make_camera
+from event3dgs_tpu.ops import project_gaussians, rasterize_reference
+from event3dgs_tpu.ops.rasterize_tiled import rasterize_tiled
+
+
+def scene(n=80, seed=0, w=256, h=64, spread=1.2):
+    cam = make_camera(np.eye(3), np.zeros(3), 1.0, 0.8, w, h)
+    rng = np.random.default_rng(seed)
+    means = jnp.asarray(
+        np.c_[
+            rng.uniform(-spread, spread, n),
+            rng.uniform(-spread * 0.4, spread * 0.4, n),
+            rng.uniform(2.0, 6.0, n),
+        ],
+        jnp.float32,
+    )
+    scales = jnp.asarray(
+        np.exp(rng.uniform(np.log(0.03), np.log(0.25), (n, 1)))
+        * rng.uniform(0.7, 1.4, (n, 3)),
+        jnp.float32,
+    )
+    rots = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.95, n), jnp.float32)
+    colors = jnp.asarray(rng.uniform(0.0, 1.0, (n, 3)), jnp.float32)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    return cam, means, scales, rots, opac, colors, bg
+
+
+def both_images(cam, means, scales, rots, opac, colors, bg, **kw):
+    proj = project_gaussians(means, scales, rots, cam)
+    ref = rasterize_reference(proj, colors, opac, bg, cam.width, cam.height)
+    fast = rasterize_tiled(proj, colors, opac, bg, cam.width, cam.height, **kw)
+    return np.array(ref), np.array(fast)
+
+
+class TestForwardParity:
+    def test_simple_scene(self):
+        ref, fast = both_images(*scene())
+        np.testing.assert_allclose(fast, ref, atol=2e-5, rtol=1e-4)
+
+    def test_dense_opaque_scene(self):
+        # many overlapping near-opaque gaussians exercise deep compositing
+        ref, fast = both_images(*scene(n=150, seed=1, spread=0.3))
+        np.testing.assert_allclose(fast, ref, atol=5e-5, rtol=1e-3)
+
+    def test_multi_tile_rows(self):
+        ref, fast = both_images(*scene(n=60, seed=2, w=384, h=96))
+        np.testing.assert_allclose(fast, ref, atol=2e-5, rtol=1e-4)
+
+    def test_empty_scene(self):
+        cam, means, scales, rots, opac, colors, bg = scene(n=4)
+        means = means + jnp.asarray([0.0, 0.0, -100.0])  # all behind camera
+        proj = project_gaussians(means, scales, rots, cam)
+        img = np.array(
+            rasterize_tiled(proj, colors, opac, bg, cam.width, cam.height)
+        )
+        np.testing.assert_allclose(img, np.broadcast_to(np.array(bg), img.shape),
+                                   atol=1e-6)
+
+    def test_instance_overflow_degrades_gracefully(self):
+        cam, means, scales, rots, opac, colors, bg = scene(n=50)
+        proj = project_gaussians(means, scales, rots, cam)
+        img = rasterize_tiled(
+            proj, colors, opac, bg, cam.width, cam.height, instance_cap=16384
+        )
+        img_small = rasterize_tiled(
+            proj, colors, opac, bg, cam.width, cam.height, instance_cap=64
+        )
+        assert np.isfinite(np.array(img_small)).all()
+        assert np.array(img).shape == np.array(img_small).shape
+
+
+class TestGradientParity:
+    @pytest.mark.parametrize("argname", ["means", "scales", "opac", "colors", "rots"])
+    def test_grads_match_oracle(self, argname):
+        cam, means, scales, rots, opac, colors, bg = scene(n=40, seed=3, w=128, h=48)
+        wgt = jnp.asarray(
+            np.random.default_rng(7).uniform(-1, 1, (cam.height, cam.width, 3)),
+            jnp.float32,
+        )
+
+        def loss(raster, m, s, r, o, c):
+            proj = project_gaussians(m, s, r, cam)
+            img = raster(proj, c, o, bg, cam.width, cam.height)
+            return jnp.sum(img * wgt)
+
+        args = dict(means=0, scales=1, rots=2, opac=3, colors=4)
+        gref = jax.grad(
+            lambda *a: loss(rasterize_reference, *a), argnums=args[argname]
+        )(means, scales, rots, opac, colors)
+        gfast = jax.grad(
+            lambda *a: loss(rasterize_tiled, *a), argnums=args[argname]
+        )(means, scales, rots, opac, colors)
+        gref, gfast = np.array(gref), np.array(gfast)
+        assert np.isfinite(gfast).all()
+        scale = np.abs(gref).max() + 1e-8
+        np.testing.assert_allclose(gfast / scale, gref / scale, atol=2e-4,
+                                   err_msg=argname)
+
+    def test_background_gradient(self):
+        cam, means, scales, rots, opac, colors, bg = scene(n=20, seed=4, w=128, h=48)
+
+        def loss(raster, bgv):
+            proj = project_gaussians(means, scales, rots, cam)
+            img = raster(proj, colors, opac, bgv, cam.width, cam.height)
+            return jnp.sum(img**2)
+
+        gref = np.array(jax.grad(lambda b: loss(rasterize_reference, b))(bg))
+        gfast = np.array(jax.grad(lambda b: loss(rasterize_tiled, b))(bg))
+        np.testing.assert_allclose(gfast, gref, rtol=1e-3)
