@@ -104,8 +104,19 @@ def bin_gaussians(
     g = jnp.where(live, g, n).astype(jnp.int32)
 
     # --- stable sort by tile (preserves depth order within a tile) --------
-    sort_idx = jnp.argsort(tile, stable=True)
-    s_tile = tile[sort_idx]
+    # Pack (tile, instance-index) into one int32 key when it fits: a single
+    # single-array sort is much cheaper on TPU than argsort's key+payload
+    # sort, and the embedded index provides stability for free.
+    idx_bits = max(int(instance_cap - 1).bit_length(), 1)
+    tile_bits = int(num_tiles).bit_length()
+    if idx_bits + tile_bits <= 31:
+        key = (tile << idx_bits) | inst
+        skey = jnp.sort(key)
+        s_tile = skey >> idx_bits
+        sort_idx = skey & ((1 << idx_bits) - 1)
+    else:
+        sort_idx = jnp.argsort(tile, stable=True)
+        s_tile = tile[sort_idx]
     s_g = g[sort_idx]
 
     tid = jnp.arange(num_tiles, dtype=jnp.int32)
