@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 TILE_H = 8
@@ -64,6 +65,7 @@ def bin_gaussians(
     height: int,
     instance_cap: int,
     chunk: int,
+    use_counting_sort: bool | None = None,
 ) -> Binning:
     n = mean2d.shape[0]
     tiles_x, tiles_y = tile_grid(width, height)
@@ -104,44 +106,59 @@ def bin_gaussians(
     g = jnp.where(live, g, n).astype(jnp.int32)
 
     # --- stable sort by tile (preserves depth order within a tile) --------
-    # Pack (tile, instance-index) into one int32 key when it fits: a single
-    # single-array sort is much cheaper on TPU than argsort's key+payload
-    # sort, and the embedded index provides stability for free.
-    idx_bits = max(int(instance_cap - 1).bit_length(), 1)
-    tile_bits = int(num_tiles).bit_length()
-    if idx_bits + tile_bits <= 31:
-        key = (tile << idx_bits) | inst
-        skey = jnp.sort(key)
-        s_tile = skey >> idx_bits
-        sort_idx = skey & ((1 << idx_bits) - 1)
-    else:
-        sort_idx = jnp.argsort(tile, stable=True)
-        s_tile = tile[sort_idx]
-    s_g = g[sort_idx]
-
-    tid = jnp.arange(num_tiles, dtype=jnp.int32)
-    t_start = jnp.searchsorted(s_tile, tid, side="left").astype(jnp.int32)
-    t_end = jnp.searchsorted(s_tile, tid, side="right").astype(jnp.int32)
-    t_count = t_end - t_start
-
-    # --- pad each tile's range to a chunk multiple ------------------------
-    padded_counts = ((t_count + chunk - 1) // chunk) * chunk
-    p_offsets = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
-    )
     padded_cap = instance_cap + num_tiles * chunk  # static upper bound
+    if use_counting_sort is None:
+        use_counting_sort = padded_cap < (1 << 24)
+    if use_counting_sort:
+        # Pallas counting sort: histogram + stable in-tile rank; two orders
+        # of magnitude faster than XLA's comparator sort on TPU.
+        from event3dgs_tpu.ops.sort_tiles import counting_sort_buckets
 
-    pos_in_tile = jnp.arange(instance_cap, dtype=jnp.int32) - t_start[
-        jnp.clip(s_tile, 0, num_tiles - 1)
-    ]
-    dest = jnp.where(
-        s_tile < num_tiles,
-        p_offsets[jnp.clip(s_tile, 0, num_tiles - 1)] + pos_in_tile,
-        padded_cap,
-    )
-    inst_gauss = jnp.full((padded_cap,), n, jnp.int32).at[dest].set(
-        s_g, mode="drop"
-    )
+        interp = jax.default_backend() != "tpu"
+        t_count, dest_fn = counting_sort_buckets(tile, num_tiles, interp)
+        padded_counts = ((t_count + chunk - 1) // chunk) * chunk
+        p_offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
+        )
+        dest = dest_fn(p_offsets[:num_tiles], drop_dest=padded_cap)
+        inst_gauss = jnp.full((padded_cap,), n, jnp.int32).at[dest].set(
+            g, mode="drop"
+        )
+    else:
+        # XLA fallback: packed single-key sort when (tile, index) fits int32,
+        # else argsort.
+        idx_bits = max(int(instance_cap - 1).bit_length(), 1)
+        tile_bits = int(num_tiles).bit_length()
+        if idx_bits + tile_bits <= 31:
+            key = (tile << idx_bits) | inst
+            skey = jnp.sort(key)
+            s_tile = skey >> idx_bits
+            sort_idx = skey & ((1 << idx_bits) - 1)
+        else:
+            sort_idx = jnp.argsort(tile, stable=True)
+            s_tile = tile[sort_idx]
+        s_g = g[sort_idx]
+
+        tid = jnp.arange(num_tiles, dtype=jnp.int32)
+        t_start = jnp.searchsorted(s_tile, tid, side="left").astype(jnp.int32)
+        t_end = jnp.searchsorted(s_tile, tid, side="right").astype(jnp.int32)
+        t_count = t_end - t_start
+
+        padded_counts = ((t_count + chunk - 1) // chunk) * chunk
+        p_offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
+        )
+        pos_in_tile = jnp.arange(instance_cap, dtype=jnp.int32) - t_start[
+            jnp.clip(s_tile, 0, num_tiles - 1)
+        ]
+        dest = jnp.where(
+            s_tile < num_tiles,
+            p_offsets[jnp.clip(s_tile, 0, num_tiles - 1)] + pos_in_tile,
+            padded_cap,
+        )
+        inst_gauss = jnp.full((padded_cap,), n, jnp.int32).at[dest].set(
+            s_g, mode="drop"
+        )
 
     return Binning(
         inst_gauss=inst_gauss,
