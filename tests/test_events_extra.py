@@ -1,0 +1,156 @@
+"""Tests for native DVS module, event metrics, arbiters, ESIM."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from event3dgs_tpu.events.arbiter import (
+    BottleneckArbiter,
+    RowArbiter,
+    SynchronousArbiter,
+)
+from event3dgs_tpu.events.buffer import EventBuffer
+from event3dgs_tpu.events.dvs_model import DvsParams, DvsSimulator
+from event3dgs_tpu.events.esim import EsimSimulator
+from event3dgs_tpu.events.metrics import (
+    chamfer_distance,
+    gaussian_distance,
+    spike_cube_distance,
+)
+
+HAS_GXX = shutil.which("g++") is not None
+
+
+@pytest.mark.skipif(not HAS_GXX, reason="no g++ toolchain")
+class TestNativeDvs:
+    def test_native_matches_python_deterministic(self):
+        from event3dgs_tpu.events.native import NativeDvsSimulator
+
+        p = DvsParams(th_noise=0, jitter=0)
+        w, h = 12, 9
+        rng = np.random.default_rng(1)
+        frames = [rng.uniform(40, 220, (h, w))]
+        for _ in range(3):
+            frames.append(frames[-1] * rng.uniform(0.7, 1.4, (h, w)))
+
+        nat = NativeDvsSimulator(w, h, p)
+        nat.disable_noise()
+        nat.init_image(frames[0])
+        py = DvsSimulator(w, h, p)
+        py.disable_noise()
+        py.init_image(frames[0])
+
+        for f in frames[1:]:
+            sn = nat.update(f, 1500).to_structured()
+            sp = py.update(f, 1500).to_structured()
+            assert len(sn) == len(sp)
+            key = ["t", "x", "y", "p"]
+            np.testing.assert_array_equal(
+                np.sort(sn, order=key), np.sort(sp, order=key)
+            )
+
+    def test_native_noise_runs(self):
+        from event3dgs_tpu.events.native import NativeDvsSimulator
+
+        sim = NativeDvsSimulator(8, 6, DvsParams())
+        hist = np.zeros((4, 72))
+        hist[:, -1] = 1.0
+        sim.init_noise(hist, hist)
+        sim.init_image(np.full((6, 8), 128.0))
+        buf = sim.update(np.full((6, 8), 128.0), 100_000)
+        assert len(buf) > 0
+
+    def test_voltages_follow_log_intensity(self):
+        from event3dgs_tpu.events.native import NativeDvsSimulator
+
+        sim = NativeDvsSimulator(4, 4, DvsParams(th_noise=0, jitter=0))
+        sim.disable_noise()
+        sim.init_image(np.full((4, 4), 100.0))
+        sim.update(np.full((4, 4), 100.0), 100_000)
+        np.testing.assert_allclose(sim.voltages, np.log(100.0), atol=1e-6)
+
+
+def _stream(seed, n=200, w=32, h=24, span=50_000):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.integers(0, span, n)).astype(np.uint64)
+    return (
+        t,
+        rng.integers(0, w, n).astype(np.uint16),
+        rng.integers(0, h, n).astype(np.uint16),
+        rng.integers(0, 2, n).astype(np.uint8),
+    )
+
+
+class TestMetrics:
+    def test_chamfer_identity_zero(self):
+        a = _stream(0)
+        assert chamfer_distance(a, a, 32, 24) == pytest.approx(0.0, abs=1e-12)
+
+    def test_chamfer_symmetry_and_separation(self):
+        a, b = _stream(0), _stream(1)
+        d_ab = chamfer_distance(a, b, 32, 24)
+        d_ba = chamfer_distance(b, a, 32, 24)
+        assert d_ab == pytest.approx(d_ba, rel=1e-9)
+        assert d_ab > 0
+
+    def test_gaussian_distance_bounded(self):
+        a, b = _stream(0), _stream(1)
+        d = gaussian_distance(a, b, 32, 24)
+        assert 0 < d < 2.0
+
+    def test_spike_cube_identity_zero(self):
+        a = _stream(2)
+        assert spike_cube_distance(a, a, 32, 24) == pytest.approx(0.0, abs=1e-6)
+
+    def test_spike_cube_separates(self):
+        a, b = _stream(2), _stream(3)
+        assert spike_cube_distance(a, b, 32, 24) > 0
+
+
+class TestArbiters:
+    def _buf(self):
+        # burst of simultaneous events
+        return EventBuffer.from_arrays(
+            [100] * 5 + [200], [0, 1, 2, 3, 4, 0], [0, 1, 0, 1, 2, 0],
+            [1] * 6,
+        )
+
+    def test_bottleneck_serializes(self):
+        out = BottleneckArbiter(dt_per_event=10).process(self._buf())
+        t = out.arrays()[0].astype(np.int64)
+        assert (np.diff(t) >= 10).all() or len(t) <= 1
+
+    def test_row_arbiter_row_grouping(self):
+        out = RowArbiter(cycle=5, height=4).process(self._buf())
+        assert len(out) == 6
+        t, x, y, p = out.arrays()
+        # events of the same row released at the same cycle
+        for row in np.unique(y):
+            row_t = t[y == row]
+            assert len(np.unique(row_t)) <= 2
+
+    def test_synchronous_scan(self):
+        out = SynchronousArbiter(row_time=10, height=4).process(self._buf())
+        t, x, y, p = out.arrays()
+        # release times are aligned to the row phase of the scan
+        assert ((t.astype(np.int64) - y.astype(np.int64) * 10) % 40 == 0).all()
+
+
+class TestEsim:
+    def test_crossing_counts(self):
+        sim = EsimSimulator(6, 4, th_pos=0.2, th_neg=0.2)
+        sim.init_image(np.full((4, 6), 50.0))
+        buf = sim.update(np.full((4, 6), 150.0), 1000)
+        per_px = len(buf) / 24
+        expect = np.floor(np.log(150.0 / 50.0) / 0.2)
+        assert per_px == pytest.approx(expect)
+        assert (buf.arrays()[3] == 1).all()
+
+    def test_interpolated_timestamps(self):
+        sim = EsimSimulator(2, 2, th_pos=0.5, th_neg=0.5)
+        sim.init_image(np.full((2, 2), 10.0))
+        buf = sim.update(np.full((2, 2), 100.0), 1000)
+        t = buf.arrays()[0]
+        assert t.min() >= 0 and t.max() <= 1000
+        assert len(np.unique(t)) > 1  # crossings spread over the interval
