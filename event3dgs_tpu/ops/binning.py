@@ -71,6 +71,15 @@ def bin_gaussians(
     tiles_x, tiles_y = tile_grid(width, height)
     num_tiles = tiles_x * tiles_y
 
+    # Fusion firewall: without it XLA fuses the projection math (EWA
+    # einsums upstream of these inputs) into the 10⁶-element instance
+    # gathers below and rematerializes it per gathered element — a >100×
+    # slowdown observed on TPU.  The barrier forces the projection outputs
+    # to materialize once.
+    mean2d, depth, radius, valid = jax.lax.optimization_barrier(
+        (mean2d, depth, radius, valid)
+    )
+
     # --- tile rects (in tile units), CUDA getRect conventions -------------
     mx, my = mean2d[:, 0], mean2d[:, 1]
     x0 = jnp.clip(jnp.floor((mx - radius) / TILE_W), 0, tiles_x).astype(jnp.int32)
@@ -88,7 +97,11 @@ def bin_gaussians(
     # --- global depth sort -------------------------------------------------
     order = jnp.argsort(depth)  # +inf (culled) last
     counts_o = counts[order]
-    offsets = jnp.concatenate([jnp.zeros(1, counts_o.dtype), jnp.cumsum(counts_o)])
+    # associative_scan, NOT jnp.cumsum: XLA sometimes lowers large cumsums
+    # to an O(n²) convolution on TPU (observed: ~130 ms for 100k elements)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, counts_o.dtype), jax.lax.associative_scan(jnp.add, counts_o)]
+    )
     total = offsets[-1]
 
     # --- instance expansion (gather-based, static instance_cap) -----------
@@ -118,7 +131,8 @@ def bin_gaussians(
         t_count, dest_fn = counting_sort_buckets(tile, num_tiles, interp)
         padded_counts = ((t_count + chunk - 1) // chunk) * chunk
         p_offsets = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
+            [jnp.zeros(1, jnp.int32),
+             jax.lax.associative_scan(jnp.add, padded_counts).astype(jnp.int32)]
         )
         dest = dest_fn(p_offsets[:num_tiles], drop_dest=padded_cap)
         inst_gauss = jnp.full((padded_cap,), n, jnp.int32).at[dest].set(
@@ -146,7 +160,8 @@ def bin_gaussians(
 
         padded_counts = ((t_count + chunk - 1) // chunk) * chunk
         p_offsets = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
+            [jnp.zeros(1, jnp.int32),
+             jax.lax.associative_scan(jnp.add, padded_counts).astype(jnp.int32)]
         )
         pos_in_tile = jnp.arange(instance_cap, dtype=jnp.int32) - t_start[
             jnp.clip(s_tile, 0, num_tiles - 1)

@@ -92,10 +92,12 @@ def project_gaussians(
         axis=-1,
     )
 
-    # --- EWA: cov2d = J R Σ Rᵀ Jᵀ ------------------------------------------
-    if cov3d is None:
-        cov3d = build_covariance(scales, rotations, scaling_modifier)
-
+    # --- EWA: cov2d = (J W) Σ (J W)ᵀ ---------------------------------------
+    # Factored elementwise formulation: with Σ = L Lᵀ (L = R·diag(s)) and
+    # u, v the two rows of J·W_rot, the 2×2 screen covariance is simply
+    # a = |Lᵀu|², b = (Lᵀu)·(Lᵀv), c = |Lᵀv|².  This keeps everything as
+    # N-vector elementwise ops — XLA's batched 3×3 einsum path is an order
+    # of magnitude slower on TPU.
     fx = camera.width / (2.0 * camera.tan_fovx)
     fy = camera.height / (2.0 * camera.tan_fovy)
 
@@ -109,20 +111,33 @@ def project_gaussians(
 
     inv_z = 1.0 / safe_tz
     inv_z2 = inv_z * inv_z
-    # Jacobian rows of the perspective map (2x3), per Gaussian.
-    j0 = jnp.stack([fx * inv_z, jnp.zeros_like(tz), -fx * txz * inv_z2], axis=-1)
-    j1 = jnp.stack([jnp.zeros_like(tz), fy * inv_z, -fy * tyz * inv_z2], axis=-1)
-    J = jnp.stack([j0, j1], axis=-2)  # [N, 2, 3]
-
     # World→view rotation: our stored matrix is (W2C)ᵀ, so the rotation that
     # acts on column vectors is its top-left block transposed.
-    R_w2c = camera.world_view[:3, :3].T  # note: this is W2C rotation, [3,3]
-    JW = jnp.einsum("nij,jk->nik", J, R_w2c)
-    cov2d = jnp.einsum("nij,njk,nlk->nil", JW, cov3d, JW)  # [N, 2, 2]
+    Rw = camera.world_view[:3, :3].T  # [3, 3] constant per camera
+    # Rows of J·W_rot as linear combinations of Rw's (constant) rows.
+    u = (fx * inv_z)[:, None] * Rw[0][None, :] + (
+        -fx * txz * inv_z2
+    )[:, None] * Rw[2][None, :]
+    v = (fy * inv_z)[:, None] * Rw[1][None, :] + (
+        -fy * tyz * inv_z2
+    )[:, None] * Rw[2][None, :]
 
-    a = cov2d[:, 0, 0] + DILATION
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + DILATION
+    if cov3d is None:
+        from event3dgs_tpu.core.transforms import quat_to_rotmat
+
+        L = quat_to_rotmat(rotations) * (scales * scaling_modifier)[:, None, :]
+        # Lᵀu, Lᵀv as broadcast-multiply + reduce (pure VPU work)
+        wu = jnp.sum(L * u[:, :, None], axis=1)  # [N, 3]
+        wv = jnp.sum(L * v[:, :, None], axis=1)
+        a = jnp.sum(wu * wu, axis=-1) + DILATION
+        b = jnp.sum(wu * wv, axis=-1)
+        c = jnp.sum(wv * wv, axis=-1) + DILATION
+    else:
+        su = jnp.einsum("nij,nj->ni", cov3d, u)
+        sv = jnp.einsum("nij,nj->ni", cov3d, v)
+        a = jnp.sum(u * su, axis=-1) + DILATION
+        b = jnp.sum(u * sv, axis=-1)
+        c = jnp.sum(v * sv, axis=-1) + DILATION
 
     det = a * c - b * b
     det_ok = det > 0.0
