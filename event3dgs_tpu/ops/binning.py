@@ -95,7 +95,11 @@ def bin_gaussians(
     counts = jnp.where(valid, rw * rh, 0)
 
     # --- global depth sort -------------------------------------------------
-    order = jnp.argsort(depth)  # +inf (culled) last
+    # Zero-count Gaussians (culled, or valid-but-empty-rect at the image
+    # edge) must sort last: the Pallas expansion kernel relies on the source
+    # rank increasing by at most 1 per instance within the live range.
+    depth_eff = jnp.where(counts > 0, depth, jnp.inf)
+    order = jnp.argsort(depth_eff)
     counts_o = counts[order]
     # associative_scan, NOT jnp.cumsum: XLA sometimes lowers large cumsums
     # to an O(n²) convolution on TPU (observed: ~130 ms for 100k elements)
@@ -104,24 +108,34 @@ def bin_gaussians(
     )
     total = offsets[-1]
 
-    # --- instance expansion (gather-based, static instance_cap) -----------
-    inst = jnp.arange(instance_cap, dtype=jnp.int32)
-    grank = jnp.clip(
-        jnp.searchsorted(offsets, inst, side="right") - 1, 0, n - 1
-    )
-    live = inst < jnp.minimum(total, instance_cap)
-    g = order[grank]
-    j = inst - offsets[grank]
-    grw = jnp.maximum(rw[g], 1)
-    tx = x0[g] + j % grw
-    ty = y0[g] + j // grw
-    tile = jnp.where(live, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
-    g = jnp.where(live, g, n).astype(jnp.int32)
-
-    # --- stable sort by tile (preserves depth order within a tile) --------
     padded_cap = instance_cap + num_tiles * chunk  # static upper bound
     if use_counting_sort is None:
-        use_counting_sort = padded_cap < (1 << 24)
+        use_counting_sort = padded_cap < (1 << 24) and instance_cap % 1024 == 0
+    if use_counting_sort:
+        # --- Pallas expansion: per-instance (tile, gaussian) ---------------
+        from event3dgs_tpu.ops.expand import expand_instances
+
+        interp_x = jax.default_backend() != "tpu"
+        tile, g = expand_instances(
+            offsets, order, x0, y0, rw, instance_cap, tiles_x, num_tiles,
+            interpret=interp_x,
+        )
+    else:
+        # --- XLA expansion (gather-based) ----------------------------------
+        inst = jnp.arange(instance_cap, dtype=jnp.int32)
+        grank = jnp.clip(
+            jnp.searchsorted(offsets, inst, side="right") - 1, 0, n - 1
+        )
+        live = inst < jnp.minimum(total, instance_cap)
+        g = order[grank]
+        j = inst - offsets[grank]
+        grw = jnp.maximum(rw[g], 1)
+        tx = x0[g] + j % grw
+        ty = y0[g] + j // grw
+        tile = jnp.where(live, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+        g = jnp.where(live, g, n).astype(jnp.int32)
+
+    # --- stable sort by tile (preserves depth order within a tile) --------
     if use_counting_sort:
         # Pallas counting sort: histogram + stable in-tile rank; two orders
         # of magnitude faster than XLA's comparator sort on TPU.

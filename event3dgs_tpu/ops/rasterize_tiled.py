@@ -436,6 +436,9 @@ def rasterize_tiled(
     n = proj.mean2d.shape[0]
     if instance_cap is None:
         instance_cap = max(8 * n, 1 << 14)
+    # round up to the expansion kernel's block size so the fast binning
+    # path (Pallas expansion + counting sort) engages
+    instance_cap = -(-int(instance_cap) // 1024) * 1024
     if interpret is None:
         interpret = _interpret_default()
     fn = _build_rasterizer(n, width, height, int(instance_cap), chunk, interpret)
