@@ -32,6 +32,11 @@ def build_parser():
     p.add_argument("--lpips_weights", type=str, default=None)
     p.add_argument("--save_images", action="store_true")
     p.add_argument(
+        "--e2vid", type=str, default=None,
+        help="score an external intensity-reconstruction folder instead of "
+             "rendering (reference eval.py --e2vid mode)",
+    )
+    p.add_argument(
         "--rasterizer", type=str, default="tiled",
         choices=["tiled", "reference"],
     )
@@ -61,6 +66,32 @@ def main(argv=None):
         load_images_array(info.test_cameras, m.resolution, m.white_background)
     )
     bg = jnp.ones(3) if m.white_background else jnp.zeros(3)
+
+    if args.e2vid:
+        # score an external reconstruction (e.g. E2VID output) at the holdout
+        # indices instead of our renders (`eval.py:123-152`)
+        import numpy as np
+
+        from event3dgs_tpu.losses import psnr, ssim
+        from event3dgs_tpu.losses.basic import rgb_to_grayscale
+        from event3dgs_tpu.train.loop import TEST_VIEW_INDICES
+        from event3dgs_tpu.utils.image_io import load_image_f32
+
+        names = sorted(os.listdir(args.e2vid))
+        ssims, psnrs = [], []
+        for idx in TEST_VIEW_INDICES:
+            if idx >= len(names) or idx >= gt.shape[0]:
+                continue
+            rec = jnp.asarray(
+                load_image_f32(os.path.join(args.e2vid, names[idx]))
+            )
+            g = jnp.repeat(rgb_to_grayscale(gt[idx]), 3, axis=-1)
+            r = jnp.repeat(rgb_to_grayscale(rec), 3, axis=-1)
+            ssims.append(float(ssim(r, g)))
+            psnrs.append(float(psnr(r, g)))
+        print(f"[SSIM {np.mean(ssims):.4f} PSNR {np.mean(psnrs):.2f}] (e2vid)")
+        return 0
+
     out = evaluate_holdout(
         params, cams, gt, sh_degree=m.sh_degree, background=bg,
         save_dir=os.path.join(args.model_path, "images")

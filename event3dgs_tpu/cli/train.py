@@ -85,7 +85,26 @@ def main(argv=None):
         gui = NetworkGui(args.ip, args.port, state, data, cfg)
         gui.start()
 
+    # TensorBoard scalars (reference `training_report`, `train.py:360-398`)
+    tb = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(model_path)
+    except ImportError:
+        print("Tensorboard not available: not logging progress")
+
     def on_metrics(it, metrics):
+        if tb is not None and "loss" in metrics:
+            tb.add_scalar("train_loss_patches/total_loss",
+                          float(metrics["loss"]), it)
+            if "l1" in metrics:
+                tb.add_scalar("train_loss_patches/l1_loss",
+                              float(metrics["l1"]), it)
+            if "contrast" in metrics:
+                tb.add_scalar("event/contrast", float(metrics["contrast"]), it)
+            if "num_visible" in metrics:
+                tb.add_scalar("total_points", int(metrics["num_visible"]), it)
         if args.quiet:
             return
         loss = metrics.get("loss")
@@ -106,7 +125,7 @@ def main(argv=None):
         save_checkpoint(os.path.join(model_path, f"chkpnt{it}.npz"), st, it)
 
     callbacks = TrainCallbacks(
-        on_metrics=on_metrics if not args.quiet else None,
+        on_metrics=on_metrics,
         on_save=on_save,
         on_checkpoint=on_checkpoint,
         log_every=100,
