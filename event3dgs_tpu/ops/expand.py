@@ -42,8 +42,11 @@ def _mxu_t(x):
     r = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
     eye = (r == c).astype(x.dtype)
+    # HIGHEST: the default MXU path rounds inputs to bf16, corrupting
+    # integer values > 256 (tile ids, offsets); HIGHEST is f32-exact < 2²⁴
     return jax.lax.dot_general(
-        eye, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        eye, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -79,6 +82,7 @@ def _expand_kernel_factory(tiles_x: int, num_tiles: int, n: int):
             attrs = jax.lax.dot_general(
                 onehot, s, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (128, ATTR_ROWS)
             off_g = attrs[:, _A_OFF : _A_OFF + 1]
             gsel = attrs[:, _A_G : _A_G + 1]

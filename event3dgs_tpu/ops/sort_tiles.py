@@ -45,8 +45,11 @@ def _mxu_t(x):
     r = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
     eye = (r == c).astype(x.dtype)
+    # HIGHEST: default MXU precision rounds inputs to bf16, corrupting
+    # integer ids > 256; HIGHEST is f32-exact for integers < 2²⁴
     return jax.lax.dot_general(
-        eye, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        eye, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
