@@ -50,6 +50,10 @@ class Binning(NamedTuple):
     num_tiles_x: int
     num_tiles_y: int
     padded_cap: int
+    # gradient-reduction bookkeeping (see ops/segscan.py):
+    dest_exp: jnp.ndarray  # [instance_cap] packed slot of expansion-order inst
+    rank_offsets: jnp.ndarray  # [N+1] instance range starts per depth rank
+    order: jnp.ndarray  # [N] depth order (gaussian id per rank)
 
 
 def tile_grid(width: int, height: int) -> tuple[int, int]:
@@ -152,6 +156,7 @@ def bin_gaussians(
         inst_gauss = jnp.full((padded_cap,), n, jnp.int32).at[dest].set(
             g, mode="drop"
         )
+        dest_exp = dest  # expansion order == creation order in this path
     else:
         # XLA fallback: packed single-key sort when (tile, index) fits int32,
         # else argsort.
@@ -188,6 +193,12 @@ def bin_gaussians(
         inst_gauss = jnp.full((padded_cap,), n, jnp.int32).at[dest].set(
             s_g, mode="drop"
         )
+        # dest is in tile-sorted order; un-permute to expansion order
+        dest_exp = (
+            jnp.full((instance_cap,), padded_cap, dest.dtype)
+            .at[sort_idx]
+            .set(dest, mode="drop")
+        )
 
     return Binning(
         inst_gauss=inst_gauss,
@@ -197,6 +208,9 @@ def bin_gaussians(
         num_tiles_x=tiles_x,
         num_tiles_y=tiles_y,
         padded_cap=padded_cap,
+        dest_exp=dest_exp,
+        rank_offsets=offsets.astype(jnp.int32),
+        order=order.astype(jnp.int32),
     )
 
 

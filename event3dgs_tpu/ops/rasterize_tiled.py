@@ -51,6 +51,7 @@ from event3dgs_tpu.ops.binning import (
     tile_grid,
 )
 from event3dgs_tpu.ops.projection import ProjectedGaussians
+from event3dgs_tpu.ops.segscan import segment_sums_from_ranges
 
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
@@ -384,10 +385,12 @@ def _build_rasterizer(
             mean2d, depth, conic, radius, validf, colors, opacities
         )
         return (rgb, logt), (binning.tile_offsets, binning.tile_chunks,
-                             binning.inst_gauss, packed, logt)
+                             binning.dest_exp, binning.rank_offsets,
+                             binning.order, packed, logt)
 
     def rasterize_bwd(res, cotangents):
-        tile_offsets, tile_chunks, inst_gauss, packed, logt = res
+        (tile_offsets, tile_chunks, dest_exp, rank_offsets, order,
+         packed, logt) = res
         g_rgb, g_logt = cotangents
         gpacked = pl.pallas_call(
             bwd_kernel,
@@ -396,11 +399,24 @@ def _build_rasterizer(
             interpret=interpret,
         )(tile_offsets, tile_chunks, packed, g_rgb, g_logt, logt)[0]
 
-        # per-instance grads → per-Gaussian grads (one segment_sum; the
-        # sentinel index n collects pad/garbage rows and is dropped)
-        gsum = jax.ops.segment_sum(
-            gpacked[:9, :].T, inst_gauss, num_segments=n + 1
-        )[:n]
+        # per-instance grads → per-Gaussian grads without any scatter-add:
+        # gather to expansion order (contiguous per depth rank), one Pallas
+        # prefix scan, two gathers (ops/segscan.py), then un-rank.  The XLA
+        # transpose is one linear 68 MB pass (Mosaic can't DMA 16-lane
+        # slices, so the kernel writes attribute-major); the barrier stops
+        # XLA from fusing it into the gather as strided per-row reads.
+        gpacked_t = jax.lax.optimization_barrier(gpacked.T)
+        g_exp = jnp.take(
+            gpacked_t, dest_exp, axis=0, mode="fill", fill_value=0.0
+        )
+        sums_rank = segment_sums_from_ranges(
+            g_exp, rank_offsets[:-1], rank_offsets[1:], interpret
+        )  # [n, PACK_ROWS], depth-rank order
+        gsum = (
+            jnp.zeros((n, 9), jnp.float32)
+            .at[order]
+            .set(sums_rank[:, :9], mode="drop")
+        )
         zeros_n = jnp.zeros((n,), jnp.float32)
         return (
             gsum[:, 0:2],  # mean2d

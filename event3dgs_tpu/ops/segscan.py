@@ -1,0 +1,133 @@
+"""Pallas exclusive prefix scan for the rasterizer's gradient reduction.
+
+The backward tile sweep produces one gradient row per *instance* (a
+(gaussian, tile) pair).  Reducing those to per-Gaussian gradients with
+`jax.ops.segment_sum` lowers to an XLA sort + serial scatter-add loop that
+costs ~15 ms per 1080p step on TPU — as much as the backward kernel itself.
+
+TPU-native replacement (no scatter anywhere):
+
+1. Gather the per-instance gradient rows from packed (tile-sorted) order
+   back into *expansion order* (instances grouped contiguously per
+   depth-ranked Gaussian) — a plain gather, cheap on TPU.
+2. Run an **exclusive prefix scan over rows** in one Pallas pass: per
+   128-row block a strictly-lower-triangular matmul (exact in f32: the MXU
+   splits each f32 operand into 3 bf16 terms and the triangular mask is
+   exactly representable) plus a carried running total.
+3. Per-Gaussian sums are then two gathers and a subtract:
+   ``sum_k = E[end_k] − E[start_k]``.
+
+The scan carry accumulates over the whole instance buffer in f32, so a
+segment's error is bounded by eps·|prefix| rather than eps·|segment| — at
+~10⁶ instances this is ≲1e-5 relative, well inside the rasterizer's
+gradient tolerance (the CUDA reference's atomicAdd reduction reorders
+sums nondeterministically at the same magnitude).
+
+Reference behavior replaced: per-Gaussian grad accumulation of
+diff-gaussian-rasterization's backward atomicAdd (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_ROWS = 1024  # rows per grid step (8 sub-blocks of 128)
+SUB = 128
+
+
+def _scan_kernel(x_ref, out_ref, tot_ref, carry):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+    ltri = (c < r).astype(jnp.float32)  # strictly lower → exclusive prefix
+    cur = carry[0:1, :]  # (1, width)
+    for k in range(BLOCK_ROWS // SUB):
+        x = x_ref[k * SUB : (k + 1) * SUB, :]
+        # exact: ltri is 0/1 (bf16-exact) and HIGHEST splits x into 3 bf16
+        # terms that sum to the f32 value; accumulation is f32 on the MXU.
+        e = jax.lax.dot(
+            ltri, x, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[k * SUB : (k + 1) * SUB, :] = e + cur
+        cur = cur + jnp.sum(x, axis=0, keepdims=True)
+    carry[...] = jnp.broadcast_to(cur, carry.shape)
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        tot_ref[...] = jnp.broadcast_to(cur, tot_ref.shape)
+
+
+@lru_cache(maxsize=32)
+def _build_scan(n_rows: int, width: int, interpret: bool):
+    assert n_rows % BLOCK_ROWS == 0
+    return pl.pallas_call(
+        _scan_kernel,
+        grid=(n_rows // BLOCK_ROWS,),
+        in_specs=[
+            pl.BlockSpec(
+                (BLOCK_ROWS, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (BLOCK_ROWS, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, width), jnp.float32),
+            jax.ShapeDtypeStruct((8, width), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, width), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+    )
+
+
+def exclusive_prefix_rows(x: jnp.ndarray, interpret: bool = False):
+    """Exclusive prefix sum over rows of ``x`` [R, W] → ([R, W], [W] total).
+
+    W small widths are fine — they are just lane-padded in VMEM.
+    """
+    rows, width = x.shape
+    pad = (-rows) % BLOCK_ROWS
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    e, tot = _build_scan(rows + pad, width, interpret)(x)
+    return e[:rows], tot[0]
+
+
+def segment_sums_from_ranges(
+    grad_rows: jnp.ndarray,  # [R, W] per-instance grads, expansion order
+    starts: jnp.ndarray,  # [S] segment start rows
+    ends: jnp.ndarray,  # [S] segment end rows (exclusive)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-segment row sums over contiguous ranges via one prefix scan.
+
+    Out-of-range rows clamp to the buffer: a range clipped to [R, R] sums
+    to zero; a range ending at exactly R uses the scan's running total, so
+    no pad copy of the (large) input is ever made.
+    """
+    rows = grad_rows.shape[0]
+    e, tot = exclusive_prefix_rows(grad_rows, interpret)
+
+    def at(idx):
+        idx = jnp.clip(idx, 0, rows)
+        v = jnp.take(e, jnp.minimum(idx, rows - 1), axis=0)
+        return jnp.where((idx >= rows)[:, None], tot[None, :], v)
+
+    return at(ends) - at(starts)
