@@ -146,7 +146,9 @@ def bin_gaussians(
         from event3dgs_tpu.ops.sort_tiles import counting_sort_buckets
 
         interp = jax.default_backend() != "tpu"
-        t_count, dest_fn = counting_sort_buckets(tile, num_tiles, interp)
+        t_count, dest_fn = counting_sort_buckets(
+            tile, num_tiles, interp, n_live=total
+        )
         padded_counts = ((t_count + chunk - 1) // chunk) * chunk
         p_offsets = jnp.concatenate(
             [jnp.zeros(1, jnp.int32),

@@ -77,11 +77,13 @@ def _lane_cumsum(x):
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     tri = (rows <= cols).astype(x.dtype)
-    # full f32: the default MXU path rounds inputs to bf16, which visibly
-    # corrupts the accumulated log-transmittance
+    # HIGH (bf16x3, ~f32-accurate): the default single-pass MXU path rounds
+    # inputs to bf16 and visibly corrupts the accumulated log-transmittance;
+    # HIGHEST (6-pass) costs 2× more for precision far below the compositing
+    # tolerance.  The triangular mask is exact in bf16 either way.
     return jax.lax.dot(
         x, tri, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
 
 
@@ -405,17 +407,20 @@ def _build_rasterizer(
         # transpose is one linear 68 MB pass (Mosaic can't DMA 16-lane
         # slices, so the kernel writes attribute-major); the barrier stops
         # XLA from fusing it into the gather as strided per-row reads.
-        gpacked_t = jax.lax.optimization_barrier(gpacked.T)
+        # only the first 9 attribute rows carry gradients — slicing before
+        # the transpose/gather nearly halves their HBM traffic
+        gpacked_t = jax.lax.optimization_barrier(gpacked[:9].T)
         g_exp = jnp.take(
             gpacked_t, dest_exp, axis=0, mode="fill", fill_value=0.0
         )
         sums_rank = segment_sums_from_ranges(
-            g_exp, rank_offsets[:-1], rank_offsets[1:], interpret
-        )  # [n, PACK_ROWS], depth-rank order
+            g_exp, rank_offsets[:-1], rank_offsets[1:], interpret,
+            n_live=rank_offsets[-1],
+        )  # [n, 9], depth-rank order
         gsum = (
             jnp.zeros((n, 9), jnp.float32)
             .at[order]
-            .set(sums_rank[:, :9], mode="drop")
+            .set(sums_rank, mode="drop")
         )
         zeros_n = jnp.zeros((n,), jnp.float32)
         return (

@@ -40,32 +40,37 @@ BLOCK_ROWS = 1024  # rows per grid step (8 sub-blocks of 128)
 SUB = 128
 
 
-def _scan_kernel(x_ref, out_ref, tot_ref, carry):
+def _scan_kernel(live_ref, x_ref, out_ref, tot_ref, carry):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
     def _():
         carry[...] = jnp.zeros_like(carry)
 
-    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
-    ltri = (c < r).astype(jnp.float32)  # strictly lower → exclusive prefix
-    cur = carry[0:1, :]  # (1, width)
-    for k in range(BLOCK_ROWS // SUB):
-        x = x_ref[k * SUB : (k + 1) * SUB, :]
-        # exact: ltri is 0/1 (bf16-exact) and HIGHEST splits x into 3 bf16
-        # terms that sum to the f32 value; accumulation is f32 on the MXU.
-        e = jax.lax.dot(
-            ltri, x, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out_ref[k * SUB : (k + 1) * SUB, :] = e + cur
-        cur = cur + jnp.sum(x, axis=0, keepdims=True)
-    carry[...] = jnp.broadcast_to(cur, carry.shape)
+    # blocks entirely past the live row count are all-zero input: the carry
+    # is unchanged and their prefix values are never read (the caller remaps
+    # any index ≥ n_live to the running total), so skip them entirely
+    @pl.when(b * BLOCK_ROWS < live_ref[0])
+    def _live():
+        r = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+        ltri = (c < r).astype(jnp.float32)  # strictly lower → exclusive
+        cur = carry[0:1, :]  # (1, width)
+        for k in range(BLOCK_ROWS // SUB):
+            x = x_ref[k * SUB : (k + 1) * SUB, :]
+            # exact: ltri is 0/1 (bf16-exact) and HIGHEST splits x into 3
+            # bf16 terms that sum to the f32 value; accumulation is f32.
+            e = jax.lax.dot(
+                ltri, x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out_ref[k * SUB : (k + 1) * SUB, :] = e + cur
+            cur = cur + jnp.sum(x, axis=0, keepdims=True)
+        carry[...] = jnp.broadcast_to(cur, carry.shape)
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
-        tot_ref[...] = jnp.broadcast_to(cur, tot_ref.shape)
+        tot_ref[...] = jnp.broadcast_to(carry[0:1, :], tot_ref.shape)
 
 
 @lru_cache(maxsize=32)
@@ -73,23 +78,30 @@ def _build_scan(n_rows: int, width: int, interpret: bool):
     assert n_rows % BLOCK_ROWS == 0
     return pl.pallas_call(
         _scan_kernel,
-        grid=(n_rows // BLOCK_ROWS,),
-        in_specs=[
-            pl.BlockSpec(
-                (BLOCK_ROWS, width), lambda i: (i, 0), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (BLOCK_ROWS, width), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((8, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_rows // BLOCK_ROWS,),
+            in_specs=[
+                pl.BlockSpec(
+                    (BLOCK_ROWS, width), lambda i, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (BLOCK_ROWS, width), lambda i, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (8, width), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            scratch_shapes=[pltpu.VMEM((8, width), jnp.float32)],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, width), jnp.float32),
             jax.ShapeDtypeStruct((8, width), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((8, width), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
@@ -97,16 +109,24 @@ def _build_scan(n_rows: int, width: int, interpret: bool):
     )
 
 
-def exclusive_prefix_rows(x: jnp.ndarray, interpret: bool = False):
+def exclusive_prefix_rows(
+    x: jnp.ndarray, interpret: bool = False, n_live=None
+):
     """Exclusive prefix sum over rows of ``x`` [R, W] → ([R, W], [W] total).
 
-    W small widths are fine — they are just lane-padded in VMEM.
+    W small widths are fine — they are just lane-padded in VMEM.  With
+    ``n_live`` (dynamic), rows at index ≥ n_live MUST be zero; blocks past
+    it are skipped and their prefix outputs are garbage — callers must remap
+    any read at index ≥ n_live to the returned total.
     """
     rows, width = x.shape
     pad = (-rows) % BLOCK_ROWS
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
-    e, tot = _build_scan(rows + pad, width, interpret)(x)
+    if n_live is None:
+        n_live = jnp.asarray(rows, jnp.int32)
+    live = jnp.minimum(jnp.asarray(n_live, jnp.int32), rows)[None]
+    e, tot = _build_scan(rows + pad, width, interpret)(live, x)
     return e[:rows], tot[0]
 
 
@@ -115,19 +135,24 @@ def segment_sums_from_ranges(
     starts: jnp.ndarray,  # [S] segment start rows
     ends: jnp.ndarray,  # [S] segment end rows (exclusive)
     interpret: bool = False,
+    n_live=None,  # dynamic live row count (rows past it must be zero)
 ) -> jnp.ndarray:
     """Per-segment row sums over contiguous ranges via one prefix scan.
 
-    Out-of-range rows clamp to the buffer: a range clipped to [R, R] sums
-    to zero; a range ending at exactly R uses the scan's running total, so
-    no pad copy of the (large) input is ever made.
+    Out-of-range rows clamp to the buffer; any boundary at or past the live
+    count resolves to the scan's running total (rows there are all zero),
+    so a range clipped to [live, live] sums to zero and no pad copy of the
+    (large) input is ever made.
     """
     rows = grad_rows.shape[0]
-    e, tot = exclusive_prefix_rows(grad_rows, interpret)
+    e, tot = exclusive_prefix_rows(grad_rows, interpret, n_live=n_live)
+    live = rows if n_live is None else jnp.minimum(
+        jnp.asarray(n_live, jnp.int32), rows
+    )
 
     def at(idx):
         idx = jnp.clip(idx, 0, rows)
         v = jnp.take(e, jnp.minimum(idx, rows - 1), axis=0)
-        return jnp.where((idx >= rows)[:, None], tot[None, :], v)
+        return jnp.where((idx >= live)[:, None], tot[None, :], v)
 
     return at(ends) - at(starts)
