@@ -77,14 +77,17 @@ def _lane_cumsum(x):
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     tri = (rows <= cols).astype(x.dtype)
-    # HIGH (bf16x3, ~f32-accurate): the default single-pass MXU path rounds
-    # inputs to bf16 and visibly corrupts the accumulated log-transmittance;
-    # HIGHEST (6-pass) costs 2× more for precision far below the compositing
-    # tolerance.  The triangular mask is exact in bf16 either way.
-    return jax.lax.dot(
-        x, tri, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
-    )
+    # The default single-pass MXU path rounds inputs to bf16 and visibly
+    # corrupts the accumulated log-transmittance; Precision.HIGH has no
+    # Mosaic lowering.  Because ``tri`` is exactly representable in bf16
+    # (0/1 entries), an explicit hi+lo bf16 split of x with f32 accumulation
+    # is exact to f32 in two MXU passes.
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    trib = tri.astype(jnp.bfloat16)
+    hi = jax.lax.dot(xh, trib, preferred_element_type=jnp.float32)
+    lo = jax.lax.dot(xl, trib, preferred_element_type=jnp.float32)
+    return hi + lo
 
 
 def _mxu_t(x):
