@@ -136,11 +136,12 @@ def read_images_binary(path: str) -> dict[int, ColmapImage]:
 def read_images_text(path: str) -> dict[int, ColmapImage]:
     images = {}
     with open(path) as f:
-        lines = [
-            ln.strip() for ln in f if ln.strip() and not ln.startswith("#")
-        ]
-    # two lines per image: header + 2D points
+        # keep blank 2D-point lines so header/points pairing stays aligned
+        lines = [ln.strip() for ln in f if not ln.startswith("#")]
+    # two lines per image: header + 2D points (possibly empty)
     for header in lines[0::2]:
+        if not header:
+            continue
         parts = header.split()
         iid = int(parts[0])
         images[iid] = ColmapImage(
@@ -216,6 +217,69 @@ def write_points3d_binary(xyz: np.ndarray, rgb: np.ndarray, path: str) -> None:
                 )
             )
             f.write(struct.pack("<Q", 0))  # empty track
+
+
+def write_cameras_text(cams: dict[int, ColmapCamera], path: str) -> None:
+    """Text-format camera writer (`utils/readwrite_model.py` equivalent)."""
+    with open(path, "w") as f:
+        f.write("# Camera list with one line of data per camera:\n"
+                "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
+        for c in cams.values():
+            params = " ".join(repr(float(p)) for p in c.params)
+            f.write(f"{c.id} {c.model} {c.width} {c.height} {params}\n")
+
+
+def write_images_text(images: dict[int, ColmapImage], path: str) -> None:
+    """Text-format image writer; 2D-point lines are left empty."""
+    with open(path, "w") as f:
+        f.write("# Image list with two lines of data per image:\n"
+                "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+                "#   POINTS2D[] as (X, Y, POINT3D_ID)\n")
+        for im in images.values():
+            q = " ".join(repr(float(v)) for v in im.qvec)
+            t = " ".join(repr(float(v)) for v in im.tvec)
+            f.write(f"{im.id} {q} {t} {im.camera_id} {im.name}\n\n")
+
+
+def write_points3d_text(xyz: np.ndarray, rgb: np.ndarray, path: str) -> None:
+    """Text-format points3D writer with empty tracks."""
+    with open(path, "w") as f:
+        f.write("# 3D point list with one line of data per point:\n"
+                "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, TRACK[]\n")
+        for i in range(len(xyz)):
+            p = " ".join(repr(float(v)) for v in xyz[i])
+            c = " ".join(str(int(v)) for v in np.asarray(rgb[i], np.uint8))
+            f.write(f"{i + 1} {p} {c} 0.0\n")
+
+
+def write_model(
+    cams: dict[int, ColmapCamera],
+    images: dict[int, ColmapImage],
+    points,
+    out_dir: str,
+    ext: str = ".bin",
+) -> None:
+    """Write a full COLMAP sparse model in binary or text form.
+
+    Equivalent of the reference's standalone `utils/readwrite_model.py`
+    `write_model` (`readwrite_model.py:106-566`); ``points`` is
+    ``(xyz, rgb[, err])`` or None for an empty point set.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    if points is None:
+        xyz, rgb = np.zeros((0, 3)), np.zeros((0, 3), np.uint8)
+    else:
+        xyz, rgb = points[0], points[1]
+    if ext == ".bin":
+        write_cameras_binary(cams, os.path.join(out_dir, "cameras.bin"))
+        write_images_binary(images, os.path.join(out_dir, "images.bin"))
+        write_points3d_binary(xyz, rgb, os.path.join(out_dir, "points3D.bin"))
+    elif ext == ".txt":
+        write_cameras_text(cams, os.path.join(out_dir, "cameras.txt"))
+        write_images_text(images, os.path.join(out_dir, "images.txt"))
+        write_points3d_text(xyz, rgb, os.path.join(out_dir, "points3D.txt"))
+    else:
+        raise ValueError(f"unknown model extension {ext!r}")
 
 
 def read_model(sparse_dir: str):

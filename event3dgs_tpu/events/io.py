@@ -177,3 +177,73 @@ def window_events(t, x, y, p, delta_t: int) -> EventsData:
 def read_dat_windowed(path: str, delta_t: int) -> EventsData:
     """`.dat` → windowed EventsData, the render.py data-prep entry point."""
     return window_events(*load_dat_events(path), delta_t)
+
+
+def load_text_events(
+    path: str, time_scale: float = 1.0, max_events: int = 5_000_000
+):
+    """Load whitespace-separated ``t x y p`` text events.
+
+    Covers the reference's V2E reader (`read_V2E_events`,
+    `event_file_io.py:296-349`, timestamps in seconds → ``time_scale=1e6``)
+    and the "Volt" reader (`read_Volt_events:350-403`, already µs →
+    ``time_scale=1``).  Lines starting with '#' or '(' are comments; streams
+    are capped at ``max_events`` like the reference.
+    """
+    ts, xs, ys, ps = [], [], [], []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("#") or line.startswith("("):
+                continue
+            vals = line.split()
+            if len(vals) < 4:
+                continue
+            ts.append(int(float(vals[0]) * time_scale))
+            xs.append(int(vals[1]))
+            ys.append(int(vals[2]))
+            ps.append(int(vals[3]))
+            if len(ts) > max_events:
+                break
+    return (
+        np.asarray(ts, np.uint64),
+        np.asarray(xs, np.uint16),
+        np.asarray(ys, np.uint16),
+        np.asarray(ps, np.uint8),
+    )
+
+
+def read_v2e_windowed(path: str, delta_t: int) -> EventsData:
+    """V2E text stream (seconds) → windowed EventsData
+    (`read_V2E_events`, `event_file_io.py:296-349`)."""
+    return window_events(*load_text_events(path, time_scale=1e6), delta_t)
+
+
+def read_volt_windowed(path: str, delta_t: int) -> EventsData:
+    """Volt text stream (µs) → windowed EventsData
+    (`read_Volt_events`, `event_file_io.py:350-403`)."""
+    return window_events(*load_text_events(path, time_scale=1.0), delta_t)
+
+
+def read_h5_windowed(path: str, delta_t: int) -> EventsData:
+    """EDS/TUM-VIE style HDF5 stream → windowed EventsData
+    (`read_eds_events` / `read_Tumvie_events`, `event_file_io.py:174-250`)."""
+    return window_events(*load_h5_events(path), delta_t)
+
+
+def read_csv_windowed(path: str, delta_t: int) -> EventsData:
+    """CSV ``t,x,y,p`` stream → windowed EventsData."""
+    return window_events(*load_csv_events(path), delta_t)
+
+
+#: Format-keyed reader registry, the dispatch surface `render.py`-style
+#: tooling uses (reference `EventsData.read_*` method family).
+WINDOWED_READERS = {
+    "dat": read_dat_windowed,
+    "iebcs": read_dat_windowed,
+    "h5": read_h5_windowed,
+    "eds": read_h5_windowed,
+    "tumvie": read_h5_windowed,
+    "v2e": read_v2e_windowed,
+    "volt": read_volt_windowed,
+    "csv": read_csv_windowed,
+}

@@ -16,6 +16,10 @@ from event3dgs_tpu.losses.event import (
     event_mixture_loss,
     thresholded_event_l1,
     dice_loss,
+    cross_entropy_event_loss,
+    quadratic_tolerance_loss,
+    pointcloud_nn_loss,
+    chamfer_event_loss,
 )
 from event3dgs_tpu.losses.modes import (
     rgb_total_loss,
@@ -38,6 +42,10 @@ __all__ = [
     "event_mixture_loss",
     "thresholded_event_l1",
     "dice_loss",
+    "cross_entropy_event_loss",
+    "quadratic_tolerance_loss",
+    "pointcloud_nn_loss",
+    "chamfer_event_loss",
     "rgb_total_loss",
     "gray_total_loss",
     "event_total_loss",

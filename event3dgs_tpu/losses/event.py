@@ -11,6 +11,7 @@ jointly (reference `train.py:71-72,165-196`; loss formula
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from event3dgs_tpu.losses.basic import l1_loss, rgb_to_grayscale, rgb_to_luv_l
@@ -103,3 +104,154 @@ def dice_loss(network_output, gt, smooth: float = 1e-8) -> jnp.ndarray:
     intersection = out * g
     dice = (2.0 * intersection + smooth) / (out + g + smooth)
     return jnp.mean(1.0 - dice)
+
+
+def cross_entropy_event_loss(img_diff, gt_image) -> jnp.ndarray:
+    """Cross-entropy between max-normalized event frames (reference
+    `cross_entropy_loss`, `loss_utils.py:101-126`).
+
+    Both frames are grayscaled, |·|-normalized by their max, flattened, and
+    stacked as a [2, HW] "logit" matrix scored against class targets (0, 1)
+    — i.e. softmax over all pixels per frame, NLL of pixel 0 for the render
+    and pixel 1 for the GT — then divided by 10 as in the reference.
+    """
+    d = rgb_to_grayscale(img_diff)
+    g = rgb_to_grayscale(gt_image)
+    d = jnp.abs(d) / jnp.maximum(jnp.max(jnp.abs(d)), LOG_EPS)
+    g = jnp.abs(g) / jnp.maximum(jnp.max(jnp.abs(g)), LOG_EPS)
+    rows = jnp.stack([d.reshape(-1), g.reshape(-1)])
+    lse = jax.nn.logsumexp(rows, axis=1)
+    nll = lse - jnp.stack([rows[0, 0], rows[1, 1]])
+    return jnp.mean(nll) / 10.0
+
+
+def quadratic_tolerance_loss(network_output, gt, tolerance: float = 0.2):
+    """Dead-band quadratic event loss (reference `l1_loss_event_new`,
+    `loss_utils.py:272-283`): differences within ±tolerance are free, the
+    excess is scaled by 1000 and squared."""
+    abs_diff = jnp.abs(network_output - gt)
+    pixel = jnp.where(
+        abs_diff < tolerance, 0.0, ((abs_diff - tolerance) * 1000.0) ** 2
+    )
+    return jnp.mean(pixel)
+
+
+def _masked_nn_mean_dist(src_xy, src_valid, dst_xy, dst_valid):
+    """Mean 2D distance from each valid src point to its nearest valid dst.
+
+    Static-shape replacement for the reference's boolean-indexed
+    `torch.cdist` + `argmin` (`loss_utils.py:334-351`): invalid rows are
+    pushed to +inf instead of being dropped.
+    """
+    d2 = jnp.sum(
+        (src_xy[:, None, :] - dst_xy[None, :, :]) ** 2, axis=-1
+    )
+    d2 = jnp.where(dst_valid[None, :], d2, jnp.inf)
+    nearest = jnp.min(d2, axis=1)
+    dist = jnp.sqrt(jnp.maximum(nearest, 0.0))
+    denom = jnp.maximum(jnp.sum(src_valid), 1.0)
+    return jnp.sum(jnp.where(src_valid, dist, 0.0)) / denom
+
+
+def pointcloud_nn_loss(
+    network_output, gt, threshold: float = 0.9, max_points: int = 9000
+) -> jnp.ndarray:
+    """Nearest-neighbour point-cloud event loss (reference `l1_loss_event`,
+    `loss_utils.py:284-355`).
+
+    Rendered pixels above +threshold / below -threshold form two 2D point
+    sets matched to the same-polarity GT point sets; the loss is the mean
+    distance from each rendered event point to its nearest GT event point
+    (both sets capped at ``max_points``).  Falls back to plain L1 when any
+    set is empty, as the reference does (`loss_utils.py:346-347`).  Static
+    shapes throughout: subsampling takes the first ``max_points`` hits
+    (the reference uses randperm) and invalid slots are masked, not dropped.
+    """
+    out = network_output.reshape(-1)
+    g = gt.reshape(-1)
+    h, w = gt.shape[-3], gt.shape[-2]
+    if gt.ndim == 2:
+        h, w = gt.shape
+    idx = jnp.arange(g.shape[0])
+    xy = jnp.stack([(idx // w).astype(jnp.float32),
+                    (idx % w).astype(jnp.float32)], axis=1)
+
+    def select(mask):
+        # stable order of the first max_points valid entries
+        order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)[:max_points]
+        return xy[order], mask[order]
+
+    n_pos_xy, n_pos_v = select(out > threshold)
+    n_neg_xy, n_neg_v = select(out < -threshold)
+    g_pos_xy, g_pos_v = select(g > threshold)
+    g_neg_xy, g_neg_v = select(g < -threshold)
+    d_pos = _masked_nn_mean_dist(n_pos_xy, n_pos_v, g_pos_xy, g_pos_v)
+    d_neg = _masked_nn_mean_dist(n_neg_xy, n_neg_v, g_neg_xy, g_neg_v)
+    have_all = (
+        (jnp.sum(out > threshold) > 0) & (jnp.sum(g > threshold) > 0)
+        & (jnp.sum(out < -threshold) > 0) & (jnp.sum(g < -threshold) > 0)
+    )
+    fallback = l1_loss(network_output, gt)
+    return jnp.where(have_all, d_pos + d_neg, fallback)
+
+
+def chamfer_event_loss(
+    img_diff, gt_image, grid: int = 5, threshold: float = 0.85,
+    band: float = 2.0, max_points: int = 1024,
+) -> jnp.ndarray:
+    """Sub-sampled chamfer event loss (reference `chamfer_loss` +
+    `chamfer_loss_bas`, `loss_utils.py:127-230`).
+
+    The image is decimated into ``grid``² strided sub-images; per sub-image,
+    pixels with |value| > threshold become (row, col, value) points split by
+    sign, each GT point is matched to the nearest rendered point of the same
+    polarity (3D distance as the reference's `cdist` over coordinates+value),
+    and the mean of relu(|gt − match − band| − band) is accumulated.  Static
+    shapes via validity masks instead of boolean indexing.
+    """
+    d = rgb_to_grayscale(img_diff)[..., 0]
+    g = rgb_to_grayscale(gt_image)[..., 0]
+    hh = (d.shape[0] // grid) * grid
+    ww = (d.shape[1] // grid) * grid
+    d = d[:hh, :ww].reshape(hh // grid, grid, ww // grid, grid)
+    g = g[:hh, :ww].reshape(hh // grid, grid, ww // grid, grid)
+    # (grid², subH, subW): one strided sub-image per (i, j) phase
+    d_sub = d.transpose(1, 3, 0, 2).reshape(grid * grid, hh // grid, ww // grid)
+    g_sub = g.transpose(1, 3, 0, 2).reshape(grid * grid, hh // grid, ww // grid)
+
+    sub_h, sub_w = d_sub.shape[1], d_sub.shape[2]
+    idx = jnp.arange(sub_h * sub_w)
+    coords = jnp.stack([(idx // sub_w).astype(jnp.float32),
+                        (idx % sub_w).astype(jnp.float32)], axis=1)
+    k = min(max_points, sub_h * sub_w)
+
+    def per_sub(dv, gv):
+        dv = dv.reshape(-1)
+        gv = gv.reshape(-1)
+
+        def side(sign):
+            d_mask = sign * dv > threshold
+            g_mask = sign * gv > threshold
+            d_order = jnp.argsort(jnp.where(d_mask, 0, 1), stable=True)[:k]
+            g_order = jnp.argsort(jnp.where(g_mask, 0, 1), stable=True)[:k]
+            dp = jnp.concatenate([coords[d_order], dv[d_order, None]], 1)
+            gp = jnp.concatenate([coords[g_order], gv[g_order, None]], 1)
+            dvalid = d_mask[d_order]
+            gvalid = g_mask[g_order]
+            dist2 = jnp.sum((dp[:, None, :] - gp[None, :, :]) ** 2, -1)
+            dist2 = jnp.where(dvalid[:, None], dist2, jnp.inf)
+            nearest = jnp.argmin(dist2, axis=0)  # per-GT nearest render pt
+            matched = dp[nearest]
+            if sign > 0:
+                resid = jnp.abs(gp - matched - band)
+            else:
+                resid = jnp.abs(matched - gp - band)
+            pen = jnp.maximum(resid - band, 0.0)
+            ok = gvalid & (jnp.sum(dvalid) > 0)
+            denom = jnp.maximum(jnp.sum(ok) * 3, 1)
+            return jnp.sum(jnp.where(ok[:, None], pen, 0.0)) / denom
+
+        return 0.5 * (side(1.0) + side(-1.0))
+
+    losses = jax.vmap(per_sub)(d_sub, g_sub)
+    return jnp.mean(losses)

@@ -49,6 +49,25 @@ def nlerp_pose(R0, t0, R1, t1, alpha: float):
     return qvec2rotmat(q), t
 
 
+def slerp_pose(R0, t0, R1, t1, alpha: float):
+    """Spherical-lerp between two camera poses (reference `Slerp`,
+    `render.py:37-44`), with the sign flip for quaternion double cover and
+    linear translation interpolation."""
+    q0, q1 = rotmat2qvec(R0), rotmat2qvec(R1)
+    if np.dot(q0, q1) < 0:
+        q1 = -q1
+    cos_fi = np.clip(np.dot(q0, q1), -1.0, 1.0)
+    fi = np.arccos(cos_fi)
+    s = np.sin(fi)
+    if s < 1e-6:  # nearly parallel: nlerp limit
+        q = (1 - alpha) * q0 + alpha * q1
+    else:
+        q = np.sin(fi * (1 - alpha)) / s * q0 + np.sin(fi * alpha) / s * q1
+    q /= np.linalg.norm(q)
+    t = (1 - alpha) * np.asarray(t0) + alpha * np.asarray(t1)
+    return qvec2rotmat(q), t
+
+
 def interpolated_cameras(cam_infos, steps: int, width: int, height: int):
     """Camera chain with ``steps`` in-between poses per source interval."""
     cams, tags = [], []
