@@ -45,7 +45,8 @@ def cdiv(a: int, b: int) -> int:
 class Binning(NamedTuple):
     inst_gauss: jnp.ndarray  # [padded_cap] gaussian index per instance (N = pad)
     tile_offsets: jnp.ndarray  # [T] start of each tile's padded range
-    tile_chunks: jnp.ndarray  # [T] number of chunk-sized slabs per tile
+    tile_chunks: jnp.ndarray  # [T] number of chunk-sized slabs per tile (≥1)
+    chunk_tile: jnp.ndarray  # [padded_cap // chunk] tile id per packed chunk
     overflow: jnp.ndarray  # scalar: instances dropped (budget exceeded)
     num_tiles_x: int
     num_tiles_y: int
@@ -149,7 +150,9 @@ def bin_gaussians(
         t_count, dest_fn = counting_sort_buckets(
             tile, num_tiles, interp, n_live=total
         )
-        padded_counts = ((t_count + chunk - 1) // chunk) * chunk
+        # every tile gets ≥1 (sentinel-filled) chunk so the chunk-grid
+        # rasterizer kernels visit — and therefore write — every image tile
+        padded_counts = jnp.maximum((t_count + chunk - 1) // chunk, 1) * chunk
         p_offsets = jnp.concatenate(
             [jnp.zeros(1, jnp.int32),
              jax.lax.associative_scan(jnp.add, padded_counts).astype(jnp.int32)]
@@ -179,7 +182,7 @@ def bin_gaussians(
         t_end = jnp.searchsorted(s_tile, tid, side="right").astype(jnp.int32)
         t_count = t_end - t_start
 
-        padded_counts = ((t_count + chunk - 1) // chunk) * chunk
+        padded_counts = jnp.maximum((t_count + chunk - 1) // chunk, 1) * chunk
         p_offsets = jnp.concatenate(
             [jnp.zeros(1, jnp.int32),
              jax.lax.associative_scan(jnp.add, padded_counts).astype(jnp.int32)]
@@ -202,10 +205,23 @@ def bin_gaussians(
             .set(dest, mode="drop")
         )
 
+    # per-chunk tile id for the chunk-grid rasterizer: chunk k belongs to
+    # the tile whose (chunk-aligned) range contains it; trailing unused
+    # chunks map to the last tile (their slabs are all-sentinel → no-ops)
+    num_chunks = padded_cap // chunk
+    start_chunks = (p_offsets[:num_tiles] // chunk).astype(jnp.int32)
+    chunk_tile = (
+        jnp.searchsorted(
+            start_chunks, jnp.arange(num_chunks, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+
     return Binning(
         inst_gauss=inst_gauss,
         tile_offsets=p_offsets[:num_tiles],
         tile_chunks=(padded_counts // chunk).astype(jnp.int32),
+        chunk_tile=chunk_tile,
         overflow=jnp.maximum(total - instance_cap, 0),
         num_tiles_x=tiles_x,
         num_tiles_y=tiles_y,

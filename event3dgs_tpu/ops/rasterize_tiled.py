@@ -107,25 +107,29 @@ def _mxu_t(x):
     )
 
 
-def _row_alpha(s, px, yr):
-    """Alpha for one pixel row: (TILE_W, chunk) from a (16, chunk) slab.
+_Q = TILE_H * TILE_W  # all pixels of one tile, q = y_local*TILE_W + x_local
 
-    Args:
-        s: (PACK_ROWS, chunk) slab value; attribute rows broadcast.
-        px: (TILE_W, 1) pixel x coordinates (sublane column).
-        yr: scalar f32 pixel y coordinate of this row.
 
-    Returns:
-        alpha, log1p(-alpha), dx, dy, raw (pre-clamp) alpha, exp(power).
-    """
+def _tile_px(t, tiles_x):
+    """Pixel coordinate columns for tile ``t``: ((Q,1) x, (Q,1) y) f32."""
+    i = t // tiles_x
+    j = t - i * tiles_x
+    q = jax.lax.broadcasted_iota(jnp.int32, (_Q, 1), 0)
+    px = (q % TILE_W + j * TILE_W).astype(jnp.float32)
+    py = (q // TILE_W + i * TILE_H).astype(jnp.float32)
+    return px, py
+
+
+def _tile_alpha(s, px, py):
+    """Alpha for a whole tile at once: (Q, chunk) from a (16, chunk) slab."""
     mx = s[_MX : _MX + 1, :]
     my = s[_MY : _MY + 1, :]
     ca = s[_CA : _CA + 1, :]
     cb = s[_CB : _CB + 1, :]
     cc = s[_CC : _CC + 1, :]
     opa = s[_OPA : _OPA + 1, :]
-    dx = mx - px  # (TILE_W, chunk)
-    dy = my - yr  # (1, chunk)
+    dx = mx - px  # (Q, chunk)
+    dy = my - py  # (Q, chunk)
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     expp = jnp.exp(power)
     raw = opa * expp
@@ -134,171 +138,167 @@ def _row_alpha(s, px, yr):
     return alpha, jnp.log1p(-alpha), dx, dy, raw, expp
 
 
-def _make_fwd_kernel(chunk: int, tiles_x: int):
-    def kernel(offs_ref, chunks_ref, packed_ref, rgb_ref, logt_ref, slab, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        t = i * tiles_x + j
-        off = offs_ref[t]
-        n_chunks = chunks_ref[t]
-        px = (
-            jax.lax.broadcasted_iota(jnp.int32, (TILE_W, 1), 0) + j * TILE_W
-        ).astype(jnp.float32)
-        y0 = (i * TILE_H).astype(jnp.float32)
+def _col_unstack(col):
+    """(Q, 1) accumulator column → (TILE_H, TILE_W) H-major tile block."""
+    cols = [col[r * TILE_W : (r + 1) * TILE_W, :] for r in range(TILE_H)]
+    return _mxu_t(jnp.concatenate(cols, axis=1))
 
-        # carries are per-row (TILE_W, 1) columns — Mosaic has no scatter-add,
-        # so rows stay separate values, lane-concatenated at the end.
-        def body(c, carry):
-            rgb_cols, logt_cols = carry
-            base = pl.multiple_of(off + c * chunk, chunk)
-            dma = pltpu.make_async_copy(
-                packed_ref.at[:, pl.ds(base, chunk)], slab, sem
-            )
-            dma.start()
-            dma.wait()
-            s = slab[...]
-            rgb_cols = tuple(list(ch) for ch in rgb_cols)
-            logt_cols = list(logt_cols)
-            for r in range(TILE_H):
-                alpha, l1m, _, _, _, _ = _row_alpha(s, px, y0 + float(r))
-                cum = _lane_cumsum(l1m)
-                w = alpha * jnp.exp(logt_cols[r] + cum - l1m)
-                for ch, row in ((0, _CR), (1, _CG), (2, _CB2)):
-                    rgb_cols[ch][r] = rgb_cols[ch][r] + jnp.sum(
-                        w * s[row : row + 1, :], axis=1, keepdims=True
-                    )
-                logt_cols[r] = logt_cols[r] + cum[:, chunk - 1 : chunk]
-            return tuple(tuple(ch) for ch in rgb_cols), tuple(logt_cols)
 
-        zcol = jnp.zeros((TILE_W, 1), jnp.float32)
-        init = (
-            tuple(tuple(zcol for _ in range(TILE_H)) for _ in range(3)),
-            tuple(zcol for _ in range(TILE_H)),
+def _col_stack(block):
+    """(TILE_H, TILE_W) H-major tile block → (Q, 1) pixel column."""
+    t = _mxu_t(block)  # (TILE_W, TILE_H)
+    return jnp.concatenate(
+        [t[:, r : r + 1] for r in range(TILE_H)], axis=0
+    )
+
+
+def _make_fwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
+    """Forward compositing over a flat chunk grid.
+
+    One grid step = one (16, chunk) slab; consecutive steps that share a
+    tile revisit the same output block (Pallas keeps it in VMEM and flushes
+    on tile change), and the pipeline emitter double-buffers the slab DMA —
+    there is no manual DMA and no per-tile warm-up stall.  Accumulators
+    (per-pixel rgb and log-transmittance) live in scratch, reset on each
+    tile's first chunk.
+    """
+
+    def kernel(ct_ref, packed_ref, rgb_ref, logt_ref, acc, ltc):
+        k = pl.program_id(0)
+        t = ct_ref[k]
+        is_first = jnp.logical_or(k == 0, t != ct_ref[jnp.maximum(k - 1, 0)])
+        is_last = jnp.logical_or(
+            k == total_chunks - 1,
+            t != ct_ref[jnp.minimum(k + 1, total_chunks - 1)],
         )
-        rgb_cols, logt_cols = jax.lax.fori_loop(0, n_chunks, body, init)
-        # assemble (TILE_W, TILE_H) then MXU-transpose into the H-major block
-        for ch in range(3):
-            rgb_ref[ch] = _mxu_t(jnp.concatenate(rgb_cols[ch], axis=1))
-        logt_ref[...] = _mxu_t(jnp.concatenate(logt_cols, axis=1))
+
+        @pl.when(is_first)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+            ltc[...] = jnp.zeros_like(ltc)
+
+        s = packed_ref[...]
+        px, py = _tile_px(t, tiles_x)
+        alpha, l1m, _, _, _, _ = _tile_alpha(s, px, py)
+        cum = _lane_cumsum(l1m)
+        lt = ltc[...]  # (Q, 1)
+        w = alpha * jnp.exp(lt + cum - l1m)
+        a = acc[...]
+        contrib = [
+            jnp.sum(w * s[row : row + 1, :], axis=1, keepdims=True)
+            for row in (_CR, _CG, _CB2)
+        ]
+        acc[...] = a + jnp.concatenate(contrib, axis=1)
+        ltc[...] = lt + cum[:, chunk - 1 : chunk]
+
+        @pl.when(is_last)
+        def _():
+            a = acc[...]
+            for ch in range(3):
+                rgb_ref[ch] = _col_unstack(a[:, ch : ch + 1])
+            logt_ref[...] = _col_unstack(ltc[...])
 
     return kernel
 
 
-def _make_bwd_kernel(chunk: int, tiles_x: int):
+def _make_bwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
+    """Backward sweep over the flat chunk grid in reverse.
+
+    Grid step k processes packed chunk ``total_chunks-1-k``, so tiles are
+    visited back-to-front in reverse tile order and each tile's image
+    cotangent blocks are fetched once (consecutive revisits).  The
+    per-chunk gradient slab is a normal pipelined output block.  Carries
+    (suffix color·ḡ and running log-transmittance) live in scratch,
+    initialized from the tile's logT cotangent on first (= deepest) chunk.
+    """
+
     def kernel(
-        offs_ref,
-        chunks_ref,
+        ct_ref,
         packed_ref,
         grgb_ref,
         glogt_ref,
         logt_ref,
         gout_ref,
-        slab,
-        gslab,
-        sem,
-        osem,
+        gB,
+        ltc,
+        gpix,
     ):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        t = i * tiles_x + j
-        off = offs_ref[t]
-        n_chunks = chunks_ref[t]
-        px = (
-            jax.lax.broadcasted_iota(jnp.int32, (TILE_W, 1), 0) + j * TILE_W
-        ).astype(jnp.float32)
-        y0 = (i * TILE_H).astype(jnp.float32)
-
-        # blocks arrive H-major (…, TILE_H, TILE_W); MXU-transpose into the
-        # kernel's pixels-on-sublanes orientation (TILE_W, TILE_H)
-        gr_t = _mxu_t(grgb_ref[0])
-        gg_t = _mxu_t(grgb_ref[1])
-        gb_t = _mxu_t(grgb_ref[2])
-        # cotangent of the logT output IS gB's initialization:
-        # dL/dα through T is -(ḡ_T·T + Σ_behind w·(ḡ·c))/(1-α); ḡ_logT = ḡ_T·T.
-        glogt0 = _mxu_t(glogt_ref[...])  # (TILE_W, TILE_H)
-        logt_final = _mxu_t(logt_ref[...])
-
-        def body(k, carry):
-            gB_cols, logt_cols = carry  # tuple[TILE_H] of (TILE_W, 1)
-            c = n_chunks - 1 - k  # reverse chunk order
-            base = pl.multiple_of(off + c * chunk, chunk)
-            dma = pltpu.make_async_copy(
-                packed_ref.at[:, pl.ds(base, chunk)], slab, sem
-            )
-            dma.start()
-            dma.wait()
-            s = slab[...]
-            ca = s[_CA : _CA + 1, :]
-            cb = s[_CB : _CB + 1, :]
-            cc = s[_CC : _CC + 1, :]
-
-            gB_cols = list(gB_cols)
-            logt_cols = list(logt_cols)
-            acc = jnp.zeros((9, chunk), jnp.float32)
-            for r in range(TILE_H):
-                alpha, l1m, dx, dy, raw, expp = _row_alpha(s, px, y0 + float(r))
-                cum = _lane_cumsum(l1m)
-                sum_l = cum[:, chunk - 1 : chunk]
-                logt_in_r = logt_cols[r] - sum_l
-                t_excl = jnp.exp(logt_in_r + cum - l1m)
-                w = alpha * t_excl
-
-                gr = gr_t[:, r : r + 1]  # (TILE_W, 1)
-                gg = gg_t[:, r : r + 1]
-                gb_ = gb_t[:, r : r + 1]
-                gc = (
-                    gr * s[_CR : _CR + 1, :]
-                    + gg * s[_CG : _CG + 1, :]
-                    + gb_ * s[_CB2 : _CB2 + 1, :]
-                )
-                u = w * gc
-                cum_u = _lane_cumsum(u)
-                total_u = cum_u[:, chunk - 1 : chunk]
-                # color behind instance k (pre-dotted with ḡ): carried gB
-                # plus the in-chunk suffix.
-                gBk = gB_cols[r] + (total_u - cum_u)
-
-                active = alpha > 0.0
-                # at the 0.99 clamp dα/d(o·exp(power)) = 0
-                passthrough = active & (raw < ALPHA_MAX)
-                dalpha = gc * t_excl - gBk / (1.0 - alpha)
-                dpw = jnp.where(passthrough, dalpha * alpha, 0.0)
-                dopa_pw = jnp.where(passthrough, dalpha * expp, 0.0)
-
-                def isum(x):  # per-instance sum over the pixel sublanes
-                    return jnp.sum(x, axis=0, keepdims=True)  # (1, chunk)
-
-                rows = [
-                    isum(dpw * -(ca * dx + cb * dy)),  # d mean2d.x
-                    isum(dpw * -(cc * dy + cb * dx)),  # d mean2d.y
-                    isum(dpw * (-0.5) * dx * dx),  # d conic a
-                    isum(dpw * -(dx * dy)),  # d conic b
-                    isum(dpw * (-0.5) * dy * dy),  # d conic c
-                    isum(dopa_pw),  # d opacity
-                    isum(w * gr),  # d color r
-                    isum(w * gg),  # d color g
-                    isum(w * gb_),  # d color b
-                ]
-                acc = acc + jnp.concatenate(rows, axis=0)  # (9, chunk)
-
-                gB_cols[r] = gB_cols[r] + total_u
-                logt_cols[r] = logt_in_r
-
-            gslab[...] = jnp.concatenate(
-                [acc, jnp.zeros((PACK_ROWS - 9, chunk), jnp.float32)], axis=0
-            )
-            odma = pltpu.make_async_copy(
-                gslab, gout_ref.at[:, pl.ds(base, chunk)], osem
-            )
-            odma.start()
-            odma.wait()
-            return tuple(gB_cols), tuple(logt_cols)
-
-        init = (
-            tuple(glogt0[:, r : r + 1] for r in range(TILE_H)),
-            tuple(logt_final[:, r : r + 1] for r in range(TILE_H)),
+        k = pl.program_id(0)
+        c = total_chunks - 1 - k
+        t = ct_ref[c]
+        is_first = jnp.logical_or(
+            k == 0, t != ct_ref[jnp.minimum(c + 1, total_chunks - 1)]
         )
-        jax.lax.fori_loop(0, n_chunks, body, init)
+
+        @pl.when(is_first)
+        def _():
+            # blocks arrive H-major (…, TILE_H, TILE_W); restack into the
+            # kernel's (Q, 1) pixel-column orientation.
+            # cotangent of the logT output IS gB's initialization:
+            # dL/dα through T is -(ḡ_T·T + Σ_behind w·(ḡ·c))/(1-α);
+            # ḡ_logT = ḡ_T·T.
+            gB[...] = _col_stack(glogt_ref[...])
+            ltc[...] = _col_stack(logt_ref[...])
+            gpix[...] = jnp.concatenate(
+                [_col_stack(grgb_ref[ch]) for ch in range(3)], axis=1
+            )
+
+        s = packed_ref[...]
+        ca = s[_CA : _CA + 1, :]
+        cb = s[_CB : _CB + 1, :]
+        cc = s[_CC : _CC + 1, :]
+
+        px, py = _tile_px(t, tiles_x)
+        alpha, l1m, dx, dy, raw, expp = _tile_alpha(s, px, py)
+        cum = _lane_cumsum(l1m)
+        sum_l = cum[:, chunk - 1 : chunk]
+        logt_in = ltc[...] - sum_l
+        t_excl = jnp.exp(logt_in + cum - l1m)
+        w = alpha * t_excl
+
+        g = gpix[...]  # (Q, 3)
+        gr = g[:, 0:1]
+        gg = g[:, 1:2]
+        gb_ = g[:, 2:3]
+        gc = (
+            gr * s[_CR : _CR + 1, :]
+            + gg * s[_CG : _CG + 1, :]
+            + gb_ * s[_CB2 : _CB2 + 1, :]
+        )
+        u = w * gc
+        cum_u = _lane_cumsum(u)
+        total_u = cum_u[:, chunk - 1 : chunk]
+        # color behind each instance (pre-dotted with ḡ): carried gB plus
+        # the in-chunk suffix.
+        gBk = gB[...] + (total_u - cum_u)
+
+        active = alpha > 0.0
+        # at the 0.99 clamp dα/d(o·exp(power)) = 0
+        passthrough = active & (raw < ALPHA_MAX)
+        dalpha = gc * t_excl - gBk / (1.0 - alpha)
+        dpw = jnp.where(passthrough, dalpha * alpha, 0.0)
+        dopa_pw = jnp.where(passthrough, dalpha * expp, 0.0)
+
+        def isum(x):  # per-instance sum over the pixel sublanes
+            return jnp.sum(x, axis=0, keepdims=True)  # (1, chunk)
+
+        rows = [
+            isum(dpw * -(ca * dx + cb * dy)),  # d mean2d.x
+            isum(dpw * -(cc * dy + cb * dx)),  # d mean2d.y
+            isum(dpw * (-0.5) * dx * dx),  # d conic a
+            isum(dpw * -(dx * dy)),  # d conic b
+            isum(dpw * (-0.5) * dy * dy),  # d conic c
+            isum(dopa_pw),  # d opacity
+            isum(w * gr),  # d color r
+            isum(w * gg),  # d color g
+            isum(w * gb_),  # d color b
+        ]
+        gout_ref[...] = jnp.concatenate(
+            rows + [jnp.zeros((PACK_ROWS - 9, chunk), jnp.float32)], axis=0
+        )
+
+        gB[...] = gB[...] + total_u
+        ltc[...] = logt_in
 
     return kernel
 
@@ -318,45 +318,77 @@ def _build_rasterizer(
     hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
     padded_cap = instance_cap + num_tiles * chunk
 
-    fwd_kernel = _make_fwd_kernel(chunk, tiles_x)
-    bwd_kernel = _make_bwd_kernel(chunk, tiles_x)
-
     # image blocks are H-major: array (3, Hp, Wp), tile block (3, 8, 128)
-    def rgb_map(i, j, *_):
-        return (0, i, j)
+    total_chunks = padded_cap // chunk
+    assert padded_cap % chunk == 0, (padded_cap, chunk)
 
-    def pix_map(i, j, *_):
-        return (i, j)
+    fwd_kernel = _make_fwd_kernel(chunk, tiles_x, total_chunks)
+    bwd_kernel = _make_bwd_kernel(chunk, tiles_x, total_chunks)
+
+    # flat chunk grid: step k → packed chunk k (fwd) / total-1-k (bwd); the
+    # chunk→tile table (scalar-prefetched) drives the image block indices
+    def chunk_map(k, ct):
+        return (0, k)
+
+    def rgb_map_fwd(k, ct):
+        t = ct[k]
+        return (0, t // tiles_x, t % tiles_x)
+
+    def pix_map_fwd(k, ct):
+        t = ct[k]
+        return (t // tiles_x, t % tiles_x)
+
+    def chunk_map_rev(k, ct):
+        return (0, total_chunks - 1 - k)
+
+    def rgb_map_bwd(k, ct):
+        t = ct[total_chunks - 1 - k]
+        return (0, t // tiles_x, t % tiles_x)
+
+    def pix_map_bwd(k, ct):
+        t = ct[total_chunks - 1 - k]
+        return (t // tiles_x, t % tiles_x)
 
     fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(tiles_y, tiles_x),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        num_scalar_prefetch=1,
+        grid=(total_chunks,),
+        in_specs=[
+            pl.BlockSpec((PACK_ROWS, chunk), chunk_map,
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=[
-            pl.BlockSpec((3, TILE_H, TILE_W), rgb_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), pix_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_H, TILE_W), rgb_map_fwd,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map_fwd,
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((PACK_ROWS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((_Q, 3), jnp.float32),  # rgb accumulator
+            pltpu.VMEM((_Q, 1), jnp.float32),  # log-transmittance carry
         ],
     )
 
     bwd_grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(tiles_y, tiles_x),
+        num_scalar_prefetch=1,
+        grid=(total_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((3, TILE_H, TILE_W), rgb_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), pix_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), pix_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((PACK_ROWS, chunk), chunk_map_rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_H, TILE_W), rgb_map_bwd,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map_bwd,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), pix_map_bwd,
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((PACK_ROWS, chunk), chunk_map_rev,
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((PACK_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((PACK_ROWS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((_Q, 1), jnp.float32),  # suffix color·ḡ carry
+            pltpu.VMEM((_Q, 1), jnp.float32),  # log-transmittance carry
+            pltpu.VMEM((_Q, 3), jnp.float32),  # per-pixel rgb cotangent
         ],
     )
 
@@ -375,7 +407,7 @@ def _build_rasterizer(
                 jax.ShapeDtypeStruct((hp, wp), jnp.float32),
             ],
             interpret=interpret,
-        )(binning.tile_offsets, binning.tile_chunks, packed)
+        )(binning.chunk_tile, packed)
         return rgb, logt, binning, packed
 
     @jax.custom_vjp
@@ -389,20 +421,19 @@ def _build_rasterizer(
         rgb, logt, binning, packed = run_forward(
             mean2d, depth, conic, radius, validf, colors, opacities
         )
-        return (rgb, logt), (binning.tile_offsets, binning.tile_chunks,
+        return (rgb, logt), (binning.chunk_tile,
                              binning.dest_exp, binning.rank_offsets,
                              binning.order, packed, logt)
 
     def rasterize_bwd(res, cotangents):
-        (tile_offsets, tile_chunks, dest_exp, rank_offsets, order,
-         packed, logt) = res
+        (chunk_tile, dest_exp, rank_offsets, order, packed, logt) = res
         g_rgb, g_logt = cotangents
         gpacked = pl.pallas_call(
             bwd_kernel,
             grid_spec=bwd_grid_spec,
             out_shape=[jax.ShapeDtypeStruct((PACK_ROWS, padded_cap), jnp.float32)],
             interpret=interpret,
-        )(tile_offsets, tile_chunks, packed, g_rgb, g_logt, logt)[0]
+        )(chunk_tile, packed, g_rgb, g_logt, logt)[0]
 
         # per-instance grads → per-Gaussian grads without any scatter-add:
         # gather to expansion order (contiguous per depth rank), one Pallas
