@@ -139,17 +139,39 @@ def _tile_alpha(s, px, py):
 
 
 def _col_unstack(col):
-    """(Q, 1) accumulator column → (TILE_H, TILE_W) H-major tile block."""
-    cols = [col[r * TILE_W : (r + 1) * TILE_W, :] for r in range(TILE_H)]
-    return _mxu_t(jnp.concatenate(cols, axis=1))
+    """(Q, 1) accumulator column → (TILE_H, TILE_W) H-major tile block.
+
+    ``B[y, x] = col[y*TILE_W + x]``, computed as one (TILE_H, Q) × (Q, TILE_W)
+    one-hot matmul — Mosaic lowers constant-iota matmuls natively, whereas
+    sublane-offset slice concatenation has no lowering.
+    """
+    q = jax.lax.broadcasted_iota(jnp.int32, (_Q, TILE_W), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (_Q, TILE_W), 1)
+    colx = jnp.where(x == q % TILE_W, col, 0.0)  # (Q, TILE_W)
+    yq = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, _Q), 1)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, _Q), 0)
+    sel = (yq // TILE_W == yy).astype(jnp.float32)  # (TILE_H, Q)
+    return jax.lax.dot(sel, colx, preferred_element_type=jnp.float32)
 
 
 def _col_stack(block):
-    """(TILE_H, TILE_W) H-major tile block → (Q, 1) pixel column."""
-    t = _mxu_t(block)  # (TILE_W, TILE_H)
-    return jnp.concatenate(
-        [t[:, r : r + 1] for r in range(TILE_H)], axis=0
-    )
+    """(TILE_H, TILE_W) H-major tile block → (Q, 1) pixel column.
+
+    ``col[y*TILE_W + x] = B[y, x]``: a (Q, TILE_W) one-hot matmul picks row
+    ``x = q mod TILE_W`` of ``Bᵀ``, then a lane-masked reduction keeps the
+    ``y = q div TILE_W`` entry.
+    """
+    q = jax.lax.broadcasted_iota(jnp.int32, (_Q, TILE_W), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (_Q, TILE_W), 1)
+    m1 = (x == q % TILE_W).astype(jnp.float32)  # (Q, TILE_W)
+    rows = jax.lax.dot_general(
+        m1, block, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, TILE_H): rows[q, y] = B[y, q mod TILE_W]
+    qy = jax.lax.broadcasted_iota(jnp.int32, (_Q, TILE_H), 0)
+    yl = jax.lax.broadcasted_iota(jnp.int32, (_Q, TILE_H), 1)
+    sel = qy // TILE_W == yl
+    return jnp.sum(jnp.where(sel, rows, 0.0), axis=1, keepdims=True)
 
 
 def _make_fwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
