@@ -47,6 +47,7 @@ class Binning(NamedTuple):
     tile_offsets: jnp.ndarray  # [T] start of each tile's padded range
     tile_chunks: jnp.ndarray  # [T] number of chunk-sized slabs per tile (≥1)
     chunk_tile: jnp.ndarray  # [padded_cap // chunk] tile id per packed chunk
+    chunk_live: jnp.ndarray  # [padded_cap // chunk] 1 if chunk has a real inst
     overflow: jnp.ndarray  # scalar: instances dropped (budget exceeded)
     num_tiles_x: int
     num_tiles_y: int
@@ -217,11 +218,19 @@ def bin_gaussians(
         - 1
     )
 
+    # liveness per chunk: whether it holds at least one real (non-sentinel)
+    # instance — the rasterizer kernels skip all math on dead chunks
+    kk = jnp.arange(num_chunks, dtype=jnp.int32)
+    chunk_live = (
+        (kk - start_chunks[chunk_tile]) * chunk < t_count[chunk_tile]
+    ).astype(jnp.int32)
+
     return Binning(
         inst_gauss=inst_gauss,
         tile_offsets=p_offsets[:num_tiles],
         tile_chunks=(padded_counts // chunk).astype(jnp.int32),
         chunk_tile=chunk_tile,
+        chunk_live=chunk_live,
         overflow=jnp.maximum(total - instance_cap, 0),
         num_tiles_x=tiles_x,
         num_tiles_y=tiles_y,

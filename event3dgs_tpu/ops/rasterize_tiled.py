@@ -174,6 +174,9 @@ def _col_stack(block):
     return jnp.sum(jnp.where(sel, rows, 0.0), axis=1, keepdims=True)
 
 
+LOG_T_SKIP = -13.8  # ln(1e-6): chunk-level early-out threshold
+
+
 def _make_fwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
     """Forward compositing over a flat chunk grid.
 
@@ -183,9 +186,18 @@ def _make_fwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
     there is no manual DMA and no per-tile warm-up stall.  Accumulators
     (per-pixel rgb and log-transmittance) live in scratch, reset on each
     tile's first chunk.
+
+    Chunk-level early-out (the TPU analogue of the CUDA kernel's per-pixel
+    ``T < 1e-4`` stop): a chunk is skipped when it has no live instance or
+    when every pixel of its tile is already saturated (log T < ln 1e-6 at
+    entry).  The decision is recorded per chunk in ``work_ref`` so the
+    backward sweep — which cannot know entry transmittance until too late —
+    skips exactly the same chunks (required for its subtractive logT
+    reconstruction to stay consistent).
     """
 
-    def kernel(ct_ref, packed_ref, rgb_ref, logt_ref, acc, ltc):
+    def kernel(ct_ref, live_ref, packed_ref, rgb_ref, logt_ref, work_ref,
+               acc, ltc):
         k = pl.program_id(0)
         t = ct_ref[k]
         is_first = jnp.logical_or(k == 0, t != ct_ref[jnp.maximum(k - 1, 0)])
@@ -199,19 +211,24 @@ def _make_fwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
             acc[...] = jnp.zeros_like(acc)
             ltc[...] = jnp.zeros_like(ltc)
 
-        s = packed_ref[...]
-        px, py = _tile_px(t, tiles_x)
-        alpha, l1m, _, _, _, _ = _tile_alpha(s, px, py)
-        cum = _lane_cumsum(l1m)
         lt = ltc[...]  # (Q, 1)
-        w = alpha * jnp.exp(lt + cum - l1m)
-        a = acc[...]
-        contrib = [
-            jnp.sum(w * s[row : row + 1, :], axis=1, keepdims=True)
-            for row in (_CR, _CG, _CB2)
-        ]
-        acc[...] = a + jnp.concatenate(contrib, axis=1)
-        ltc[...] = lt + cum[:, chunk - 1 : chunk]
+        do_work = (live_ref[k] > 0) & (jnp.max(lt) > LOG_T_SKIP)
+        work_ref[...] = do_work.astype(jnp.int32).reshape(1, 1)
+
+        @pl.when(do_work)
+        def _():
+            s = packed_ref[...]
+            px, py = _tile_px(t, tiles_x)
+            alpha, l1m, _, _, _, _ = _tile_alpha(s, px, py)
+            cum = _lane_cumsum(l1m)
+            w = alpha * jnp.exp(lt + cum - l1m)
+            a = acc[...]
+            contrib = [
+                jnp.sum(w * s[row : row + 1, :], axis=1, keepdims=True)
+                for row in (_CR, _CG, _CB2)
+            ]
+            acc[...] = a + jnp.concatenate(contrib, axis=1)
+            ltc[...] = lt + cum[:, chunk - 1 : chunk]
 
         @pl.when(is_last)
         def _():
@@ -236,6 +253,7 @@ def _make_bwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
 
     def kernel(
         ct_ref,
+        work_ref,
         packed_ref,
         grgb_ref,
         glogt_ref,
@@ -265,62 +283,74 @@ def _make_bwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
                 [_col_stack(grgb_ref[ch]) for ch in range(3)], axis=1
             )
 
-        s = packed_ref[...]
-        ca = s[_CA : _CA + 1, :]
-        cb = s[_CB : _CB + 1, :]
-        cc = s[_CC : _CC + 1, :]
+        # skip exactly the chunks the forward pass skipped: their instances
+        # were never composited, so their grads are zero AND the logT carry
+        # must pass through unchanged.
+        do_work = work_ref[c] > 0
 
-        px, py = _tile_px(t, tiles_x)
-        alpha, l1m, dx, dy, raw, expp = _tile_alpha(s, px, py)
-        cum = _lane_cumsum(l1m)
-        sum_l = cum[:, chunk - 1 : chunk]
-        logt_in = ltc[...] - sum_l
-        t_excl = jnp.exp(logt_in + cum - l1m)
-        w = alpha * t_excl
+        @pl.when(jnp.logical_not(do_work))
+        def _():
+            gout_ref[...] = jnp.zeros_like(gout_ref)
 
-        g = gpix[...]  # (Q, 3)
-        gr = g[:, 0:1]
-        gg = g[:, 1:2]
-        gb_ = g[:, 2:3]
-        gc = (
-            gr * s[_CR : _CR + 1, :]
-            + gg * s[_CG : _CG + 1, :]
-            + gb_ * s[_CB2 : _CB2 + 1, :]
-        )
-        u = w * gc
-        cum_u = _lane_cumsum(u)
-        total_u = cum_u[:, chunk - 1 : chunk]
-        # color behind each instance (pre-dotted with ḡ): carried gB plus
-        # the in-chunk suffix.
-        gBk = gB[...] + (total_u - cum_u)
+        @pl.when(do_work)
+        def _():
+            s = packed_ref[...]
+            ca = s[_CA : _CA + 1, :]
+            cb = s[_CB : _CB + 1, :]
+            cc = s[_CC : _CC + 1, :]
 
-        active = alpha > 0.0
-        # at the 0.99 clamp dα/d(o·exp(power)) = 0
-        passthrough = active & (raw < ALPHA_MAX)
-        dalpha = gc * t_excl - gBk / (1.0 - alpha)
-        dpw = jnp.where(passthrough, dalpha * alpha, 0.0)
-        dopa_pw = jnp.where(passthrough, dalpha * expp, 0.0)
+            px, py = _tile_px(t, tiles_x)
+            alpha, l1m, dx, dy, raw, expp = _tile_alpha(s, px, py)
+            cum = _lane_cumsum(l1m)
+            sum_l = cum[:, chunk - 1 : chunk]
+            logt_in = ltc[...] - sum_l
+            t_excl = jnp.exp(logt_in + cum - l1m)
+            w = alpha * t_excl
 
-        def isum(x):  # per-instance sum over the pixel sublanes
-            return jnp.sum(x, axis=0, keepdims=True)  # (1, chunk)
+            g = gpix[...]  # (Q, 3)
+            gr = g[:, 0:1]
+            gg = g[:, 1:2]
+            gb_ = g[:, 2:3]
+            gc = (
+                gr * s[_CR : _CR + 1, :]
+                + gg * s[_CG : _CG + 1, :]
+                + gb_ * s[_CB2 : _CB2 + 1, :]
+            )
+            u = w * gc
+            cum_u = _lane_cumsum(u)
+            total_u = cum_u[:, chunk - 1 : chunk]
+            # color behind each instance (pre-dotted with ḡ): carried gB plus
+            # the in-chunk suffix.
+            gBk = gB[...] + (total_u - cum_u)
 
-        rows = [
-            isum(dpw * -(ca * dx + cb * dy)),  # d mean2d.x
-            isum(dpw * -(cc * dy + cb * dx)),  # d mean2d.y
-            isum(dpw * (-0.5) * dx * dx),  # d conic a
-            isum(dpw * -(dx * dy)),  # d conic b
-            isum(dpw * (-0.5) * dy * dy),  # d conic c
-            isum(dopa_pw),  # d opacity
-            isum(w * gr),  # d color r
-            isum(w * gg),  # d color g
-            isum(w * gb_),  # d color b
-        ]
-        gout_ref[...] = jnp.concatenate(
-            rows + [jnp.zeros((PACK_ROWS - 9, chunk), jnp.float32)], axis=0
-        )
+            active = alpha > 0.0
+            # at the 0.99 clamp dα/d(o·exp(power)) = 0
+            passthrough = active & (raw < ALPHA_MAX)
+            dalpha = gc * t_excl - gBk / (1.0 - alpha)
+            dpw = jnp.where(passthrough, dalpha * alpha, 0.0)
+            dopa_pw = jnp.where(passthrough, dalpha * expp, 0.0)
 
-        gB[...] = gB[...] + total_u
-        ltc[...] = logt_in
+            def isum(x):  # per-instance sum over the pixel sublanes
+                return jnp.sum(x, axis=0, keepdims=True)  # (1, chunk)
+
+            rows = [
+                isum(dpw * -(ca * dx + cb * dy)),  # d mean2d.x
+                isum(dpw * -(cc * dy + cb * dx)),  # d mean2d.y
+                isum(dpw * (-0.5) * dx * dx),  # d conic a
+                isum(dpw * -(dx * dy)),  # d conic b
+                isum(dpw * (-0.5) * dy * dy),  # d conic c
+                isum(dopa_pw),  # d opacity
+                isum(w * gr),  # d color r
+                isum(w * gg),  # d color g
+                isum(w * gb_),  # d color b
+            ]
+            gout_ref[...] = jnp.concatenate(
+                rows + [jnp.zeros((PACK_ROWS - 9, chunk), jnp.float32)],
+                axis=0,
+            )
+
+            gB[...] = gB[...] + total_u
+            ltc[...] = logt_in
 
     return kernel
 
@@ -348,31 +378,33 @@ def _build_rasterizer(
     bwd_kernel = _make_bwd_kernel(chunk, tiles_x, total_chunks)
 
     # flat chunk grid: step k → packed chunk k (fwd) / total-1-k (bwd); the
-    # chunk→tile table (scalar-prefetched) drives the image block indices
-    def chunk_map(k, ct):
+    # chunk→tile table (scalar-prefetched) drives the image block indices.
+    # Index maps receive both prefetched scalars (ct, aux) — aux is the
+    # chunk-liveness table (fwd) / the fwd-recorded work flags (bwd).
+    def chunk_map(k, ct, aux):
         return (0, k)
 
-    def rgb_map_fwd(k, ct):
+    def rgb_map_fwd(k, ct, aux):
         t = ct[k]
         return (0, t // tiles_x, t % tiles_x)
 
-    def pix_map_fwd(k, ct):
+    def pix_map_fwd(k, ct, aux):
         t = ct[k]
         return (t // tiles_x, t % tiles_x)
 
-    def chunk_map_rev(k, ct):
+    def chunk_map_rev(k, ct, aux):
         return (0, total_chunks - 1 - k)
 
-    def rgb_map_bwd(k, ct):
+    def rgb_map_bwd(k, ct, aux):
         t = ct[total_chunks - 1 - k]
         return (0, t // tiles_x, t % tiles_x)
 
-    def pix_map_bwd(k, ct):
+    def pix_map_bwd(k, ct, aux):
         t = ct[total_chunks - 1 - k]
         return (t // tiles_x, t % tiles_x)
 
     fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,  # chunk→tile table, chunk liveness
         grid=(total_chunks,),
         in_specs=[
             pl.BlockSpec((PACK_ROWS, chunk), chunk_map,
@@ -383,6 +415,8 @@ def _build_rasterizer(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), pix_map_fwd,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda k, ct, live: (k, 0),
+                         memory_space=pltpu.VMEM),  # per-chunk work flag
         ],
         scratch_shapes=[
             pltpu.VMEM((_Q, 3), jnp.float32),  # rgb accumulator
@@ -391,7 +425,7 @@ def _build_rasterizer(
     )
 
     bwd_grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,  # chunk→tile table, fwd-recorded work flags
         grid=(total_chunks,),
         in_specs=[
             pl.BlockSpec((PACK_ROWS, chunk), chunk_map_rev,
@@ -421,41 +455,42 @@ def _build_rasterizer(
             width, height, instance_cap, chunk,
         )
         packed = pack_instances(binning, mean2d, conic, colors, opacities)
-        rgb, logt = pl.pallas_call(
+        rgb, logt, work = pl.pallas_call(
             fwd_kernel,
             grid_spec=fwd_grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
                 jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((total_chunks, 1), jnp.int32),
             ],
             interpret=interpret,
-        )(binning.chunk_tile, packed)
-        return rgb, logt, binning, packed
+        )(binning.chunk_tile, binning.chunk_live, packed)
+        return rgb, logt, work, binning, packed
 
     @jax.custom_vjp
     def rasterize(mean2d, depth, conic, radius, validf, colors, opacities):
-        rgb, logt, _, _ = run_forward(
+        rgb, logt, _, _, _ = run_forward(
             mean2d, depth, conic, radius, validf, colors, opacities
         )
         return rgb, logt
 
     def rasterize_fwd(mean2d, depth, conic, radius, validf, colors, opacities):
-        rgb, logt, binning, packed = run_forward(
+        rgb, logt, work, binning, packed = run_forward(
             mean2d, depth, conic, radius, validf, colors, opacities
         )
-        return (rgb, logt), (binning.chunk_tile,
+        return (rgb, logt), (binning.chunk_tile, work.reshape(-1),
                              binning.dest_exp, binning.rank_offsets,
                              binning.order, packed, logt)
 
     def rasterize_bwd(res, cotangents):
-        (chunk_tile, dest_exp, rank_offsets, order, packed, logt) = res
+        (chunk_tile, work, dest_exp, rank_offsets, order, packed, logt) = res
         g_rgb, g_logt = cotangents
         gpacked = pl.pallas_call(
             bwd_kernel,
             grid_spec=bwd_grid_spec,
             out_shape=[jax.ShapeDtypeStruct((PACK_ROWS, padded_cap), jnp.float32)],
             interpret=interpret,
-        )(chunk_tile, packed, g_rgb, g_logt, logt)[0]
+        )(chunk_tile, work, packed, g_rgb, g_logt, logt)[0]
 
         # per-instance grads → per-Gaussian grads without any scatter-add:
         # gather to expansion order (contiguous per depth rank), one Pallas

@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Split the rasterizer backward into kernel / reduction / projection-VJP."""
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from event3dgs_tpu.core import make_camera
+from event3dgs_tpu.ops.projection import project_gaussians
+from event3dgs_tpu.ops.binning import (PACK_ROWS, bin_gaussians,
+                                       pack_instances, tile_grid, TILE_H,
+                                       TILE_W)
+from event3dgs_tpu.ops import rasterize_tiled as rt
+from event3dgs_tpu.ops.segscan import segment_sums_from_ranges
+
+N = int(os.environ.get("BENCH_GAUSSIANS", 100_000))
+W, H = 1920, 1080
+ITERS = int(os.environ.get("ITERS", 10))
+CHUNK = 128
+
+cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.75, W, H)
+rng = np.random.default_rng(0)
+means = jnp.asarray(np.c_[rng.uniform(-3, 3, N), rng.uniform(-1.8, 1.8, N),
+                          rng.uniform(2, 10, N)], jnp.float32)
+scales = jnp.asarray(np.exp(rng.uniform(np.log(0.005), np.log(0.03), (N, 1)))
+                     * rng.uniform(0.7, 1.4, (N, 3)), jnp.float32)
+rots = jnp.asarray(rng.normal(size=(N, 4)), jnp.float32)
+opac = jnp.asarray(rng.uniform(0.3, 0.9, N), jnp.float32)
+colors = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
+icap = -(-8 * N // 1024) * 1024
+interp = jax.default_backend() != "tpu"
+
+tiles_x, tiles_y = tile_grid(W, H)
+hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
+padded_cap = icap + tiles_x * tiles_y * CHUNK
+total_chunks = padded_cap // CHUNK
+
+# --- precompute residuals once (host-side snapshot) ------------------------
+@jax.jit
+def residuals(m, s, r, o, c):
+    p = project_gaussians(m, s, r, cam, opacities=o)
+    b = bin_gaussians(p.mean2d, p.depth, p.radius, p.valid, W, H, icap, CHUNK)
+    packed = pack_instances(b, p.mean2d, p.conic, c, o)
+    fwd_kernel = rt._make_fwd_kernel(CHUNK, tiles_x, total_chunks)
+    # reuse the cached rasterizer's grid specs by calling the public entry
+    return b, packed
+
+b, packed = residuals(means, scales, rots, opac, colors)
+fwd_kernel = rt._make_fwd_kernel(CHUNK, tiles_x, total_chunks)
+bwd_kernel = rt._make_bwd_kernel(CHUNK, tiles_x, total_chunks)
+
+import jax.experimental.pallas.tpu as pltpu  # noqa: E402
+
+fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
+    num_scalar_prefetch=1,
+    grid=(total_chunks,),
+    in_specs=[pl.BlockSpec((PACK_ROWS, CHUNK), lambda k, ct: (0, k),
+                           memory_space=pltpu.VMEM)],
+    out_specs=[
+        pl.BlockSpec((3, TILE_H, TILE_W),
+                     lambda k, ct: (0, ct[k] // tiles_x, ct[k] % tiles_x),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W),
+                     lambda k, ct: (ct[k] // tiles_x, ct[k] % tiles_x),
+                     memory_space=pltpu.VMEM),
+    ],
+    scratch_shapes=[
+        pltpu.VMEM((rt._Q, 3), jnp.float32),
+        pltpu.VMEM((rt._Q, 1), jnp.float32),
+    ],
+)
+
+bwd_grid_spec = pltpu.PrefetchScalarGridSpec(
+    num_scalar_prefetch=1,
+    grid=(total_chunks,),
+    in_specs=[
+        pl.BlockSpec((PACK_ROWS, CHUNK),
+                     lambda k, ct: (0, total_chunks - 1 - k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, TILE_H, TILE_W),
+                     lambda k, ct: (0, ct[total_chunks - 1 - k] // tiles_x,
+                                    ct[total_chunks - 1 - k] % tiles_x),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W),
+                     lambda k, ct: (ct[total_chunks - 1 - k] // tiles_x,
+                                    ct[total_chunks - 1 - k] % tiles_x),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W),
+                     lambda k, ct: (ct[total_chunks - 1 - k] // tiles_x,
+                                    ct[total_chunks - 1 - k] % tiles_x),
+                     memory_space=pltpu.VMEM),
+    ],
+    out_specs=[pl.BlockSpec((PACK_ROWS, CHUNK),
+                            lambda k, ct: (0, total_chunks - 1 - k),
+                            memory_space=pltpu.VMEM)],
+    scratch_shapes=[
+        pltpu.VMEM((rt._Q, 1), jnp.float32),
+        pltpu.VMEM((rt._Q, 1), jnp.float32),
+        pltpu.VMEM((rt._Q, 3), jnp.float32),
+    ],
+)
+
+
+@jax.jit
+def run_fwd_kernel(ct, packed, eps):
+    rgb, logt = pl.pallas_call(
+        fwd_kernel, grid_spec=fwd_grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
+                   jax.ShapeDtypeStruct((hp, wp), jnp.float32)],
+        interpret=interp,
+    )(ct, packed + eps)
+    return rgb, logt
+
+
+rgb, logt = run_fwd_kernel(b.chunk_tile, packed, jnp.float32(0.0))
+g_rgb = rgb * 2.0
+g_logt = logt * 0.1
+
+
+@jax.jit
+def run_bwd_kernel(ct, packed, g_rgb, g_logt, logt, eps):
+    gpacked = pl.pallas_call(
+        bwd_kernel, grid_spec=bwd_grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((PACK_ROWS, padded_cap), jnp.float32)],
+        interpret=interp,
+    )(ct, packed + eps, g_rgb, g_logt, logt)[0]
+    return gpacked
+
+
+gpacked = run_bwd_kernel(b.chunk_tile, packed, g_rgb, g_logt, logt,
+                         jnp.float32(0.0))
+
+
+@jax.jit
+def run_reduce(gpacked, dest_exp, rank_offsets, order, eps):
+    gpacked_t = jax.lax.optimization_barrier((gpacked + eps)[:9].T)
+    g_exp = jnp.take(gpacked_t, dest_exp, axis=0, mode="fill", fill_value=0.0)
+    sums_rank = segment_sums_from_ranges(
+        g_exp, rank_offsets[:-1], rank_offsets[1:], interp,
+        n_live=rank_offsets[-1],
+    )
+    gsum = jnp.zeros((N, 9), jnp.float32).at[order].set(sums_rank, mode="drop")
+    return gsum
+
+
+def timed(name, fn, *args):
+    out = fn(*args, jnp.float32(0.0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = fn(*args, jnp.float32(1e-6 * (i + 1)))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / ITERS
+    print(f"{name:30s} {dt*1e3:9.2f} ms")
+    return dt
+
+
+timed("fwd kernel alone", run_fwd_kernel, b.chunk_tile, packed)
+timed("bwd kernel alone", run_bwd_kernel, b.chunk_tile, packed, g_rgb,
+      g_logt, logt)
+timed("grad reduce alone", run_reduce, gpacked, b.dest_exp, b.rank_offsets,
+      b.order)
+
+
+# projection vjp alone
+@jax.jit
+def proj_vjp(m, s, r, o, eps):
+    def f(m, s, r, o):
+        p = project_gaussians(m + eps, s, r, cam, opacities=o)
+        return (p.mean2d.sum() + p.conic.sum() + p.depth.sum()
+                + p.radius.sum())
+    return jax.grad(f, argnums=(0, 1, 2, 3))(m, s, r, o)
+
+
+timed("projection vjp alone", proj_vjp, means, scales, rots, opac)
