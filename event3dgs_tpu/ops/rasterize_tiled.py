@@ -27,10 +27,14 @@ TPU-first design (see also ops/binning.py):
 
 Numerics match the oracle (`rasterize_reference`): α = min(0.99, o·exp(p)),
 contributions with power > 0 or α < 1/255 are skipped, and a Gaussian's
-support is its 3σ tile rect.  The per-pixel 1e-4 early-stop of the CUDA
-kernel is not applied (contributions past saturation carry < 1e-4 weight,
-far below visibility; the log-space carry keeps them finite and their
-gradients negligible).
+support is its 3σ tile rect.  Early-out is **chunk-level**, not per-pixel:
+a chunk is skipped when every pixel of its tile has log T < ln 1e-6 at
+entry (``LOG_T_SKIP``) — the TPU analogue of the CUDA kernel's per-pixel
+``T < 1e-4`` stop, coarser (whole tile must saturate) but branch-free per
+lane.  Consequently the ``logt`` output saturates near ln(1e-6) for fully
+opaque tiles, which is harmless for background compositing (weight < 1e-6).
+The skip decision is recorded per chunk so the backward sweep skips exactly
+the same chunks (its subtractive logT reconstruction requires it).
 """
 
 from __future__ import annotations
@@ -213,7 +217,10 @@ def _make_fwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
 
         lt = ltc[...]  # (Q, 1)
         do_work = (live_ref[k] > 0) & (jnp.max(lt) > LOG_T_SKIP)
-        work_ref[...] = do_work.astype(jnp.int32).reshape(1, 1)
+        # per-chunk work flag lives in SMEM (scalar memory): a (1,1) VMEM
+        # block would violate Mosaic's (8,128) min-tile rule, and the flags
+        # are consumed scalar-prefetched by the backward kernel anyway.
+        work_ref[k] = do_work.astype(jnp.int32)
 
         @pl.when(do_work)
         def _():
@@ -355,32 +362,15 @@ def _make_bwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
     return kernel
 
 
-@lru_cache(maxsize=32)
-def _build_rasterizer(
-    n: int,
-    width: int,
-    height: int,
-    instance_cap: int,
-    chunk: int,
-    interpret: bool,
-):
-    """Build (and cache) the custom-VJP rasterizer for a static shape set."""
-    tiles_x, tiles_y = tile_grid(width, height)
-    num_tiles = tiles_x * tiles_y
-    hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
-    padded_cap = instance_cap + num_tiles * chunk
+def build_grid_specs(chunk: int, tiles_x: int, total_chunks: int):
+    """Grid specs for the fwd/bwd compositing kernels (shared with tooling).
 
-    # image blocks are H-major: array (3, Hp, Wp), tile block (3, 8, 128)
-    total_chunks = padded_cap // chunk
-    assert padded_cap % chunk == 0, (padded_cap, chunk)
+    Flat chunk grid: step k → packed chunk k (fwd) / total-1-k (bwd); the
+    chunk→tile table (scalar-prefetched) drives the image block indices.
+    Index maps receive both prefetched scalars (ct, aux) — aux is the
+    chunk-liveness table (fwd) / the fwd-recorded work flags (bwd).
+    """
 
-    fwd_kernel = _make_fwd_kernel(chunk, tiles_x, total_chunks)
-    bwd_kernel = _make_bwd_kernel(chunk, tiles_x, total_chunks)
-
-    # flat chunk grid: step k → packed chunk k (fwd) / total-1-k (bwd); the
-    # chunk→tile table (scalar-prefetched) drives the image block indices.
-    # Index maps receive both prefetched scalars (ct, aux) — aux is the
-    # chunk-liveness table (fwd) / the fwd-recorded work flags (bwd).
     def chunk_map(k, ct, aux):
         return (0, k)
 
@@ -415,8 +405,8 @@ def _build_rasterizer(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), pix_map_fwd,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda k, ct, live: (k, 0),
-                         memory_space=pltpu.VMEM),  # per-chunk work flag
+            # per-chunk work flags: whole-array SMEM block (trivial window)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((_Q, 3), jnp.float32),  # rgb accumulator
@@ -447,6 +437,32 @@ def _build_rasterizer(
             pltpu.VMEM((_Q, 3), jnp.float32),  # per-pixel rgb cotangent
         ],
     )
+    return fwd_grid_spec, bwd_grid_spec
+
+
+@lru_cache(maxsize=32)
+def _build_rasterizer(
+    n: int,
+    width: int,
+    height: int,
+    instance_cap: int,
+    chunk: int,
+    interpret: bool,
+):
+    """Build (and cache) the custom-VJP rasterizer for a static shape set."""
+    tiles_x, tiles_y = tile_grid(width, height)
+    num_tiles = tiles_x * tiles_y
+    hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
+    padded_cap = instance_cap + num_tiles * chunk
+
+    # image blocks are H-major: array (3, Hp, Wp), tile block (3, 8, 128)
+    total_chunks = padded_cap // chunk
+    assert padded_cap % chunk == 0, (padded_cap, chunk)
+
+    fwd_kernel = _make_fwd_kernel(chunk, tiles_x, total_chunks)
+    bwd_kernel = _make_bwd_kernel(chunk, tiles_x, total_chunks)
+    fwd_grid_spec, bwd_grid_spec = build_grid_specs(
+        chunk, tiles_x, total_chunks)
 
     def run_forward(mean2d, depth, conic, radius, validf, colors, opacities):
         sg = jax.lax.stop_gradient
@@ -461,7 +477,7 @@ def _build_rasterizer(
             out_shape=[
                 jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
                 jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-                jax.ShapeDtypeStruct((total_chunks, 1), jnp.int32),
+                jax.ShapeDtypeStruct((total_chunks,), jnp.int32),
             ],
             interpret=interpret,
         )(binning.chunk_tile, binning.chunk_live, packed)
@@ -478,7 +494,7 @@ def _build_rasterizer(
         rgb, logt, work, binning, packed = run_forward(
             mean2d, depth, conic, radius, validf, colors, opacities
         )
-        return (rgb, logt), (binning.chunk_tile, work.reshape(-1),
+        return (rgb, logt), (binning.chunk_tile, work,
                              binning.dest_exp, binning.rank_offsets,
                              binning.order, packed, logt)
 

@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""Split the rasterizer backward into kernel / reduction / projection-VJP."""
+"""Split the rasterizer backward into kernel / reduction / projection-VJP.
+
+Reuses the library's kernels AND grid specs (rasterize_tiled.build_grid_specs)
+so the profile always measures exactly what the production path runs.
+"""
 import os
 import time
 
@@ -38,99 +42,53 @@ hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
 padded_cap = icap + tiles_x * tiles_y * CHUNK
 total_chunks = padded_cap // CHUNK
 
+fwd_kernel = rt._make_fwd_kernel(CHUNK, tiles_x, total_chunks)
+bwd_kernel = rt._make_bwd_kernel(CHUNK, tiles_x, total_chunks)
+fwd_grid_spec, bwd_grid_spec = rt.build_grid_specs(CHUNK, tiles_x,
+                                                   total_chunks)
+
+
 # --- precompute residuals once (host-side snapshot) ------------------------
 @jax.jit
 def residuals(m, s, r, o, c):
     p = project_gaussians(m, s, r, cam, opacities=o)
     b = bin_gaussians(p.mean2d, p.depth, p.radius, p.valid, W, H, icap, CHUNK)
     packed = pack_instances(b, p.mean2d, p.conic, c, o)
-    fwd_kernel = rt._make_fwd_kernel(CHUNK, tiles_x, total_chunks)
-    # reuse the cached rasterizer's grid specs by calling the public entry
     return b, packed
 
+
 b, packed = residuals(means, scales, rots, opac, colors)
-fwd_kernel = rt._make_fwd_kernel(CHUNK, tiles_x, total_chunks)
-bwd_kernel = rt._make_bwd_kernel(CHUNK, tiles_x, total_chunks)
-
-import jax.experimental.pallas.tpu as pltpu  # noqa: E402
-
-fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
-    num_scalar_prefetch=1,
-    grid=(total_chunks,),
-    in_specs=[pl.BlockSpec((PACK_ROWS, CHUNK), lambda k, ct: (0, k),
-                           memory_space=pltpu.VMEM)],
-    out_specs=[
-        pl.BlockSpec((3, TILE_H, TILE_W),
-                     lambda k, ct: (0, ct[k] // tiles_x, ct[k] % tiles_x),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_H, TILE_W),
-                     lambda k, ct: (ct[k] // tiles_x, ct[k] % tiles_x),
-                     memory_space=pltpu.VMEM),
-    ],
-    scratch_shapes=[
-        pltpu.VMEM((rt._Q, 3), jnp.float32),
-        pltpu.VMEM((rt._Q, 1), jnp.float32),
-    ],
-)
-
-bwd_grid_spec = pltpu.PrefetchScalarGridSpec(
-    num_scalar_prefetch=1,
-    grid=(total_chunks,),
-    in_specs=[
-        pl.BlockSpec((PACK_ROWS, CHUNK),
-                     lambda k, ct: (0, total_chunks - 1 - k),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, TILE_H, TILE_W),
-                     lambda k, ct: (0, ct[total_chunks - 1 - k] // tiles_x,
-                                    ct[total_chunks - 1 - k] % tiles_x),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_H, TILE_W),
-                     lambda k, ct: (ct[total_chunks - 1 - k] // tiles_x,
-                                    ct[total_chunks - 1 - k] % tiles_x),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_H, TILE_W),
-                     lambda k, ct: (ct[total_chunks - 1 - k] // tiles_x,
-                                    ct[total_chunks - 1 - k] % tiles_x),
-                     memory_space=pltpu.VMEM),
-    ],
-    out_specs=[pl.BlockSpec((PACK_ROWS, CHUNK),
-                            lambda k, ct: (0, total_chunks - 1 - k),
-                            memory_space=pltpu.VMEM)],
-    scratch_shapes=[
-        pltpu.VMEM((rt._Q, 1), jnp.float32),
-        pltpu.VMEM((rt._Q, 1), jnp.float32),
-        pltpu.VMEM((rt._Q, 3), jnp.float32),
-    ],
-)
 
 
 @jax.jit
-def run_fwd_kernel(ct, packed, eps):
-    rgb, logt = pl.pallas_call(
+def run_fwd_kernel(ct, live, packed, eps):
+    rgb, logt, work = pl.pallas_call(
         fwd_kernel, grid_spec=fwd_grid_spec,
         out_shape=[jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
-                   jax.ShapeDtypeStruct((hp, wp), jnp.float32)],
+                   jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                   jax.ShapeDtypeStruct((total_chunks,), jnp.int32)],
         interpret=interp,
-    )(ct, packed + eps)
-    return rgb, logt
+    )(ct, live, packed + eps)
+    return rgb, logt, work
 
 
-rgb, logt = run_fwd_kernel(b.chunk_tile, packed, jnp.float32(0.0))
+rgb, logt, work = run_fwd_kernel(b.chunk_tile, b.chunk_live, packed,
+                                 jnp.float32(0.0))
 g_rgb = rgb * 2.0
 g_logt = logt * 0.1
 
 
 @jax.jit
-def run_bwd_kernel(ct, packed, g_rgb, g_logt, logt, eps):
+def run_bwd_kernel(ct, work, packed, g_rgb, g_logt, logt, eps):
     gpacked = pl.pallas_call(
         bwd_kernel, grid_spec=bwd_grid_spec,
         out_shape=[jax.ShapeDtypeStruct((PACK_ROWS, padded_cap), jnp.float32)],
         interpret=interp,
-    )(ct, packed + eps, g_rgb, g_logt, logt)[0]
+    )(ct, work, packed + eps, g_rgb, g_logt, logt)[0]
     return gpacked
 
 
-gpacked = run_bwd_kernel(b.chunk_tile, packed, g_rgb, g_logt, logt,
+gpacked = run_bwd_kernel(b.chunk_tile, work, packed, g_rgb, g_logt, logt,
                          jnp.float32(0.0))
 
 
@@ -158,8 +116,8 @@ def timed(name, fn, *args):
     return dt
 
 
-timed("fwd kernel alone", run_fwd_kernel, b.chunk_tile, packed)
-timed("bwd kernel alone", run_bwd_kernel, b.chunk_tile, packed, g_rgb,
+timed("fwd kernel alone", run_fwd_kernel, b.chunk_tile, b.chunk_live, packed)
+timed("bwd kernel alone", run_bwd_kernel, b.chunk_tile, work, packed, g_rgb,
       g_logt, logt)
 timed("grad reduce alone", run_reduce, gpacked, b.dest_exp, b.rank_offsets,
       b.order)
