@@ -11,10 +11,20 @@ TPU-native equivalent here is fully static-shape XLA:
    fixed `instance_cap` budget (overflow is counted and reported).
 3. Instances (created in depth order) are stably sorted by tile id; within a
    tile they therefore remain depth-ordered.
-4. The per-tile ranges are **padded to chunk multiples** into a second,
-   slightly larger buffer, so the rasterizer kernel can DMA fixed-size
-   (16 × chunk) slabs that never cross tile boundaries.  Pad slots point at
-   a sentinel Gaussian (index N) with zero opacity.
+
+**Tile geometry** is 32×32 pixels (Q = 1024 pixels per tile) — close to the
+CUDA kernel's 16×16 but sized so a whole tile fills the (8,128)-vreg compute
+layout of the Pallas kernels.  Unlike a (8,128) strip, a 32×32 tile keeps
+the covered-tile count of a typical few-pixel-radius Gaussian low, which is
+what the instance budget and all downstream stages scale with.
+
+**Group padding**: tiles are grouped 8 consecutive ids per *tile group*; the
+packed instance stream is padded to `chunk` multiples per **group** (not per
+tile), so a compositing-kernel chunk may mix instances of up to 8 tiles.
+The kernels resolve per-lane tile membership with one-hot matmuls and a
+segmented (masked-triangular) transmittance scan; in exchange, lane padding
+waste drops by ~8× and dead chunks almost vanish.  Pad slots point at a
+sentinel Gaussian (index N) with zero opacity.
 
 All arrays here are index/bookkeeping data — gradients never flow through
 binning (the caller wraps it in stop_gradient).
@@ -27,14 +37,16 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-TILE_H = 8
-TILE_W = 128
+TILE_H = 32
+TILE_W = 32
+GROUP = 8  # tiles per group = one (8, Q) image-block row set
 
 # Packed per-instance attribute rows (see pack_instances).
 ROW_MX, ROW_MY = 0, 1
 ROW_CA, ROW_CB, ROW_CC = 2, 3, 4
 ROW_OPA = 5
 ROW_R, ROW_G, ROW_B = 6, 7, 8
+ROW_GL = 9  # group-local tile index (0..7), f32
 PACK_ROWS = 16  # padded to a sublane multiple
 
 
@@ -44,9 +56,10 @@ def cdiv(a: int, b: int) -> int:
 
 class Binning(NamedTuple):
     inst_gauss: jnp.ndarray  # [padded_cap] gaussian index per instance (N = pad)
-    tile_offsets: jnp.ndarray  # [T] start of each tile's padded range
-    tile_chunks: jnp.ndarray  # [T] number of chunk-sized slabs per tile (≥1)
-    chunk_tile: jnp.ndarray  # [padded_cap // chunk] tile id per packed chunk
+    slab_tile: jnp.ndarray  # [padded_cap] tile id per packed slot (pad → group base)
+    tile_offsets: jnp.ndarray  # [T] start of each tile's packed range
+    tile_counts: jnp.ndarray  # [T] real instances per tile
+    chunk_group: jnp.ndarray  # [padded_cap // chunk] tile-group id per chunk
     chunk_live: jnp.ndarray  # [padded_cap // chunk] 1 if chunk has a real inst
     overflow: jnp.ndarray  # scalar: instances dropped (budget exceeded)
     num_tiles_x: int
@@ -60,6 +73,32 @@ class Binning(NamedTuple):
 
 def tile_grid(width: int, height: int) -> tuple[int, int]:
     return cdiv(width, TILE_W), cdiv(height, TILE_H)
+
+
+def num_groups(width: int, height: int) -> int:
+    tx, ty = tile_grid(width, height)
+    return cdiv(tx * ty, GROUP)
+
+
+def _group_layout(t_count, num_tiles: int, chunk: int):
+    """Per-group chunk-padded layout from per-tile instance counts.
+
+    Returns (tile_start[T], group_offsets[G+1]) where each group's packed
+    range is chunk-aligned and ≥ one chunk (so the kernels visit — and
+    therefore initialize — every image-block group).
+    """
+    g = cdiv(num_tiles, GROUP)
+    padded = jnp.zeros((g * GROUP,), t_count.dtype).at[:num_tiles].set(t_count)
+    by_group = padded.reshape(g, GROUP)
+    group_count = by_group.sum(axis=1)
+    group_padded = jnp.maximum((group_count + chunk - 1) // chunk, 1) * chunk
+    group_offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jax.lax.associative_scan(jnp.add, group_padded).astype(jnp.int32)]
+    )
+    within = jnp.cumsum(by_group, axis=1) - by_group  # exclusive prefix
+    tile_start = (group_offsets[:g, None] + within).reshape(-1)[:num_tiles]
+    return tile_start.astype(jnp.int32), group_offsets
 
 
 def bin_gaussians(
@@ -76,6 +115,7 @@ def bin_gaussians(
     n = mean2d.shape[0]
     tiles_x, tiles_y = tile_grid(width, height)
     num_tiles = tiles_x * tiles_y
+    n_groups = cdiv(num_tiles, GROUP)
 
     # Fusion firewall: without it XLA fuses the projection math (EWA
     # einsums upstream of these inputs) into the 10⁶-element instance
@@ -114,7 +154,7 @@ def bin_gaussians(
     )
     total = offsets[-1]
 
-    padded_cap = instance_cap + num_tiles * chunk  # static upper bound
+    padded_cap = instance_cap + n_groups * chunk  # static upper bound
     if use_counting_sort is None:
         use_counting_sort = padded_cap < (1 << 24) and instance_cap % 1024 == 0
     if use_counting_sort:
@@ -151,17 +191,12 @@ def bin_gaussians(
         t_count, dest_fn = counting_sort_buckets(
             tile, num_tiles, interp, n_live=total
         )
-        # every tile gets ≥1 (sentinel-filled) chunk so the chunk-grid
-        # rasterizer kernels visit — and therefore write — every image tile
-        padded_counts = jnp.maximum((t_count + chunk - 1) // chunk, 1) * chunk
-        p_offsets = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32),
-             jax.lax.associative_scan(jnp.add, padded_counts).astype(jnp.int32)]
-        )
-        dest = dest_fn(p_offsets[:num_tiles], drop_dest=padded_cap)
+        tile_start, group_offsets = _group_layout(t_count, num_tiles, chunk)
+        dest = dest_fn(tile_start, drop_dest=padded_cap)
         inst_gauss = jnp.full((padded_cap,), n, jnp.int32).at[dest].set(
             g, mode="drop"
         )
+        slab_tile_src = tile
         dest_exp = dest  # expansion order == creation order in this path
     else:
         # XLA fallback: packed single-key sort when (tile, index) fits int32,
@@ -183,22 +218,19 @@ def bin_gaussians(
         t_end = jnp.searchsorted(s_tile, tid, side="right").astype(jnp.int32)
         t_count = t_end - t_start
 
-        padded_counts = jnp.maximum((t_count + chunk - 1) // chunk, 1) * chunk
-        p_offsets = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32),
-             jax.lax.associative_scan(jnp.add, padded_counts).astype(jnp.int32)]
-        )
+        tile_start, group_offsets = _group_layout(t_count, num_tiles, chunk)
         pos_in_tile = jnp.arange(instance_cap, dtype=jnp.int32) - t_start[
             jnp.clip(s_tile, 0, num_tiles - 1)
         ]
         dest = jnp.where(
             s_tile < num_tiles,
-            p_offsets[jnp.clip(s_tile, 0, num_tiles - 1)] + pos_in_tile,
+            tile_start[jnp.clip(s_tile, 0, num_tiles - 1)] + pos_in_tile,
             padded_cap,
         )
         inst_gauss = jnp.full((padded_cap,), n, jnp.int32).at[dest].set(
             s_g, mode="drop"
         )
+        slab_tile_src = s_tile
         # dest is in tile-sorted order; un-permute to expansion order
         dest_exp = (
             jnp.full((instance_cap,), padded_cap, dest.dtype)
@@ -206,30 +238,48 @@ def bin_gaussians(
             .set(dest, mode="drop")
         )
 
-    # per-chunk tile id for the chunk-grid rasterizer: chunk k belongs to
-    # the tile whose (chunk-aligned) range contains it; trailing unused
-    # chunks map to the last tile (their slabs are all-sentinel → no-ops)
-    num_chunks = padded_cap // chunk
-    start_chunks = (p_offsets[:num_tiles] // chunk).astype(jnp.int32)
-    chunk_tile = (
+    # per-chunk group id for the chunk-grid rasterizer: chunk k belongs to
+    # the group whose (chunk-aligned) range contains it; trailing unused
+    # chunks map to the last group (their slabs are all-sentinel → no-ops)
+    n_chunks = padded_cap // chunk
+    start_chunks = (group_offsets[:n_groups] // chunk).astype(jnp.int32)
+    chunk_group = (
         jnp.searchsorted(
-            start_chunks, jnp.arange(num_chunks, dtype=jnp.int32), side="right"
+            start_chunks, jnp.arange(n_chunks, dtype=jnp.int32), side="right"
         ).astype(jnp.int32)
         - 1
     )
 
     # liveness per chunk: whether it holds at least one real (non-sentinel)
     # instance — the rasterizer kernels skip all math on dead chunks
-    kk = jnp.arange(num_chunks, dtype=jnp.int32)
+    t_pad = jnp.zeros((n_groups * GROUP,), t_count.dtype).at[:num_tiles].set(
+        t_count
+    )
+    group_count = t_pad.reshape(n_groups, GROUP).sum(axis=1)
+    kk = jnp.arange(n_chunks, dtype=jnp.int32)
     chunk_live = (
-        (kk - start_chunks[chunk_tile]) * chunk < t_count[chunk_tile]
+        (kk - start_chunks[chunk_group]) * chunk < group_count[chunk_group]
     ).astype(jnp.int32)
+
+    # tile id per packed slot (pad slots → their group's base tile so the
+    # group-local index stays in [0, 8) and sentinel lanes are harmless)
+    slab_tile = (
+        jnp.full((padded_cap,), 0, jnp.int32)
+        .at[dest]
+        .set(slab_tile_src, mode="drop")
+    )
+    slot_group = chunk_group[
+        jnp.arange(padded_cap, dtype=jnp.int32) // chunk
+    ]
+    is_pad = inst_gauss >= n
+    slab_tile = jnp.where(is_pad, slot_group * GROUP, slab_tile)
 
     return Binning(
         inst_gauss=inst_gauss,
-        tile_offsets=p_offsets[:num_tiles],
-        tile_chunks=(padded_counts // chunk).astype(jnp.int32),
-        chunk_tile=chunk_tile,
+        slab_tile=slab_tile,
+        tile_offsets=tile_start,
+        tile_counts=t_count.astype(jnp.int32),
+        chunk_group=chunk_group,
         chunk_live=chunk_live,
         overflow=jnp.maximum(total - instance_cap, 0),
         num_tiles_x=tiles_x,
@@ -254,6 +304,11 @@ def pack_instances(
     lane-aligned (16, chunk) block whose *rows* are attributes — attribute
     row vectors broadcast directly against pixel sublane columns without any
     in-kernel transpose.  The sentinel Gaussian (index N) has opacity 0.
+
+    Means are stored **tile-local** (mean2d − tile origin): the kernels
+    compute alphas in tile-local pixel coordinates, so lanes of different
+    tiles coexist in one chunk.  Row ``ROW_GL`` carries the group-local tile
+    index (0..7) that drives the kernels' one-hot tile resolution.
     """
     n = mean2d.shape[0]
     attrs = jnp.concatenate(
@@ -261,4 +316,11 @@ def pack_instances(
     )  # [N, 9]
     attrs = jnp.concatenate([attrs, jnp.zeros((1, attrs.shape[1]))], axis=0)
     gathered = attrs[binning.inst_gauss].astype(jnp.float32)  # [padded_cap, 9]
-    return jnp.pad(gathered.T, ((0, PACK_ROWS - attrs.shape[1]), (0, 0)))
+    t = binning.slab_tile
+    ox = ((t % binning.num_tiles_x) * TILE_W).astype(jnp.float32)
+    oy = ((t // binning.num_tiles_x) * TILE_H).astype(jnp.float32)
+    gl = (t % GROUP).astype(jnp.float32)
+    gathered = gathered.at[:, ROW_MX].add(-ox)
+    gathered = gathered.at[:, ROW_MY].add(-oy)
+    out = jnp.concatenate([gathered, gl[:, None]], axis=1)  # [padded_cap, 10]
+    return jnp.pad(out.T, ((0, PACK_ROWS - out.shape[1]), (0, 0)))

@@ -2,18 +2,23 @@
 
 TPU-first design (see also ops/binning.py):
 
-- **Tiles are 8×128 pixels**; inside the kernel each tile is swept one pixel
-  row at a time with *pixels on sublanes and instances on lanes*: a
-  (TILE_W, chunk) alpha matrix per row.  Instance attributes arrive as
+- **Tiles are 32×32 pixels**, grouped 8 per *tile group*.  Inside the kernel
+  a tile's Q = 1024 pixels live on the sublane axis and instances on lanes:
+  a (Q, chunk) alpha matrix per chunk.  Instance attributes arrive as
   (1, chunk) row vectors sliced from the DMA'd slab and broadcast directly —
-  the whole kernel needs **zero transposes or reshapes** (Mosaic supports
-  neither in general).
-- **Chunked streaming**: each tile's depth-ordered instance list is stored
-  attribute-major ([16, padded_cap]) so the per-chunk DMA is one contiguous,
-  lane-aligned (16, chunk) slab.
+  the whole kernel needs **zero general transposes or reshapes** (Mosaic
+  supports neither); the only reorientations are tiny eye-matmuls between
+  the (Q, 8) per-group accumulators and the (8, Q) image blocks.
+- **Group-packed streaming**: a chunk's 128 instances may belong to any of
+  the 8 tiles of one group (ops/binning.py pads per group, not per tile).
+  Per-lane tile membership is resolved with one-hot matmuls: carries are
+  (Q, 8) per-group arrays, gathered to lanes / scattered from lanes by
+  multiplying with the (8, chunk) one-hot of the group-local tile index.
 - **Compositing-order scan on the MXU**: the exclusive-transmittance scan
-  along the instance (lane) axis is a constant upper-triangular matmul —
-  Mosaic has no cumsum lowering, and this keeps the VPU free for alpha math.
+  along the instance (lane) axis is a *segmented* triangular matmul — the
+  0/1 mask is (j ≤ k) ∧ (tile_j = tile_k), so lanes of different tiles
+  scan independently.  Mosaic has no cumsum lowering, and this keeps the
+  VPU free for alpha math.
 - **Log-space transmittance**: the carry is log T, so deep opaque stacks
   never underflow and the backward pass reconstructs each chunk's entering
   transmittance *exactly* by subtraction (the CUDA backward divides by (1-α)
@@ -22,19 +27,21 @@ TPU-first design (see also ops/binning.py):
   per-instance gradients into a packed slab (each instance slot belongs to
   exactly one tile, so no atomics are needed — the scatter back to
   per-Gaussian gradients is one segment_sum outside the kernel).
-- The kernels produce the image **W-major** ((3, Wp, Hp)) because pixel-x
-  lives on sublanes; one XLA transpose outside restores (H, W, 3).
+- The kernels produce the image **tile-major** ((3, G·8, Q)): one group =
+  one (3, 8, Q) output block; an XLA reshape/transpose outside restores
+  (H, W, 3).
 
 Numerics match the oracle (`rasterize_reference`): α = min(0.99, o·exp(p)),
 contributions with power > 0 or α < 1/255 are skipped, and a Gaussian's
 support is its 3σ tile rect.  Early-out is **chunk-level**, not per-pixel:
-a chunk is skipped when every pixel of its tile has log T < ln 1e-6 at
-entry (``LOG_T_SKIP``) — the TPU analogue of the CUDA kernel's per-pixel
-``T < 1e-4`` stop, coarser (whole tile must saturate) but branch-free per
-lane.  Consequently the ``logt`` output saturates near ln(1e-6) for fully
-opaque tiles, which is harmless for background compositing (weight < 1e-6).
-The skip decision is recorded per chunk so the backward sweep skips exactly
-the same chunks (its subtractive logT reconstruction requires it).
+a chunk is skipped when every pixel of every tile of its group has
+log T < ln 1e-6 at entry (``LOG_T_SKIP``) — the TPU analogue of the CUDA
+kernel's per-pixel ``T < 1e-4`` stop, coarser (a whole group must saturate)
+but branch-free per lane.  Consequently the ``logt`` output saturates near
+ln(1e-6) for fully opaque tiles, which is harmless for background
+compositing (weight < 1e-6).  The skip decision is recorded per chunk so
+the backward sweep skips exactly the same chunks (its subtractive logT
+reconstruction requires it).
 """
 
 from __future__ import annotations
@@ -47,10 +54,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from event3dgs_tpu.ops.binning import (
+    GROUP,
     PACK_ROWS,
     TILE_H,
     TILE_W,
     bin_gaussians,
+    cdiv,
     pack_instances,
     tile_grid,
 )
@@ -63,69 +72,72 @@ ALPHA_MIN = 1.0 / 255.0
 DEFAULT_CHUNK = 128
 
 # packed-slab attribute rows (see ops/binning.py pack_instances)
-_MX, _MY, _CA, _CB, _CC, _OPA, _CR, _CG, _CB2 = range(9)
+_MX, _MY, _CA, _CB, _CC, _OPA, _CR, _CG, _CB2, _GL = range(10)
+
+_Q = TILE_H * TILE_W  # pixels per tile; q = y_local*TILE_W + x_local
 
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _lane_cumsum(x):
-    """Inclusive cumulative sum along the lane (last) axis.
+def _split_dot(x, m):
+    """``x @ m`` with f32 ``x`` and an *exactly bf16-representable* ``m``.
 
-    Mosaic has no cumsum lowering; a constant upper-triangular ones matmul
-    runs the scan on the (otherwise idle) MXU:
-    ``cum[p,k] = Σ_{j≤k} x[p,j] = (X · U)[p,k]`` with ``U[j,k] = [j ≤ k]``.
+    The default single-pass MXU path rounds inputs to bf16 and visibly
+    corrupts accumulated log-transmittances; Precision.HIGHEST lowers but
+    costs 6 passes.  Because ``m`` is exact in bf16 (0/1 masks here), an
+    explicit hi+lo bf16 split of ``x`` with f32 accumulation is exact to
+    f32 in two MXU passes.
     """
-    k = x.shape[-1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    tri = (rows <= cols).astype(x.dtype)
-    # The default single-pass MXU path rounds inputs to bf16 and visibly
-    # corrupts the accumulated log-transmittance; Precision.HIGH has no
-    # Mosaic lowering.  Because ``tri`` is exactly representable in bf16
-    # (0/1 entries), an explicit hi+lo bf16 split of x with f32 accumulation
-    # is exact to f32 in two MXU passes.
     xh = x.astype(jnp.bfloat16)
     xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-    trib = tri.astype(jnp.bfloat16)
-    hi = jax.lax.dot(xh, trib, preferred_element_type=jnp.float32)
-    lo = jax.lax.dot(xl, trib, preferred_element_type=jnp.float32)
+    mb = m.astype(jnp.bfloat16)
+    hi = jax.lax.dot(xh, mb, preferred_element_type=jnp.float32)
+    lo = jax.lax.dot(xl, mb, preferred_element_type=jnp.float32)
     return hi + lo
 
 
-def _mxu_t(x):
-    """2D transpose via identity matmul (Mosaic has no vector transpose).
-
-    ``(a, b) → (b, a)`` as ``I_b · xᵀ`` — one tiny MXU op per tile, used only
-    to move between the kernel's pixels-on-sublanes compute orientation and
-    the (8, 128)-blocked H-major image layout.
-    """
-    b = x.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
-    eye = (rows == cols).astype(x.dtype)
+def _t_to8(x):
+    """(8, Q) → (Q, 8) exact transpose via an eye(8) matmul."""
+    eye = _eye8(x.dtype)
     return jax.lax.dot_general(
-        eye, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        x, eye, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
 
-_Q = TILE_H * TILE_W  # all pixels of one tile, q = y_local*TILE_W + x_local
+def _t_from8(x):
+    """(Q, 8) → (8, Q) exact transpose via an eye(8) matmul."""
+    eye = _eye8(x.dtype)
+    return jax.lax.dot_general(
+        eye, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
-def _tile_px(t, tiles_x):
-    """Pixel coordinate columns for tile ``t``: ((Q,1) x, (Q,1) y) f32."""
-    i = t // tiles_x
-    j = t - i * tiles_x
+def _eye8(dtype):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
+    return (rows == cols).astype(dtype)
+
+
+def _tile_px():
+    """Tile-local pixel coordinate columns ((Q,1) x, (Q,1) y), f32."""
     q = jax.lax.broadcasted_iota(jnp.int32, (_Q, 1), 0)
-    px = (q % TILE_W + j * TILE_W).astype(jnp.float32)
-    py = (q // TILE_W + i * TILE_H).astype(jnp.float32)
+    px = (q % TILE_W).astype(jnp.float32)
+    py = (q // TILE_W).astype(jnp.float32)
     return px, py
 
 
 def _tile_alpha(s, px, py):
-    """Alpha for a whole tile at once: (Q, chunk) from a (16, chunk) slab."""
+    """Alpha for a whole tile at once: (Q, chunk) from the packed slab.
+
+    Means in the slab are tile-local, so one (Q, 1) local-coordinate column
+    serves every lane regardless of which group tile it belongs to.
+    """
     mx = s[_MX : _MX + 1, :]
     my = s[_MY : _MY + 1, :]
     ca = s[_CA : _CA + 1, :]
@@ -142,80 +154,61 @@ def _tile_alpha(s, px, py):
     return alpha, jnp.log1p(-alpha), dx, dy, raw, expp
 
 
-def _col_unstack(col):
-    """(Q, 1) accumulator column → (TILE_H, TILE_W) H-major tile block.
+def _group_masks(s, chunk: int):
+    """One-hot tile-membership masks from the slab's group-local index row.
 
-    ``B[y, x] = col[y*TILE_W + x]``, computed as one (TILE_H, Q) × (Q, TILE_W)
-    one-hot matmul — Mosaic lowers constant-iota matmuls natively, whereas
-    sublane-offset slice concatenation has no lowering.
+    Returns (oneh (8, chunk), onehT (chunk, 8), seg (chunk, chunk)) where
+    ``seg[j, k] = [j ≤ k][tile_j = tile_k]`` drives the segmented scan.
     """
-    q = jax.lax.broadcasted_iota(jnp.int32, (_Q, TILE_W), 0)
-    x = jax.lax.broadcasted_iota(jnp.int32, (_Q, TILE_W), 1)
-    colx = jnp.where(x == q % TILE_W, col, 0.0)  # (Q, TILE_W)
-    yq = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, _Q), 1)
-    yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, _Q), 0)
-    sel = (yq // TILE_W == yy).astype(jnp.float32)  # (TILE_H, Q)
-    return jax.lax.dot(sel, colx, preferred_element_type=jnp.float32)
-
-
-def _col_stack(block):
-    """(TILE_H, TILE_W) H-major tile block → (Q, 1) pixel column.
-
-    ``col[y*TILE_W + x] = B[y, x]``: a (Q, TILE_W) one-hot matmul picks row
-    ``x = q mod TILE_W`` of ``Bᵀ``, then a lane-masked reduction keeps the
-    ``y = q div TILE_W`` entry.
-    """
-    q = jax.lax.broadcasted_iota(jnp.int32, (_Q, TILE_W), 0)
-    x = jax.lax.broadcasted_iota(jnp.int32, (_Q, TILE_W), 1)
-    m1 = (x == q % TILE_W).astype(jnp.float32)  # (Q, TILE_W)
-    rows = jax.lax.dot_general(
-        m1, block, (((1,), (1,)), ((), ())),
+    gl = s[_GL : _GL + 1, :]  # (1, chunk) f32 in {0..7}
+    gid = jax.lax.broadcasted_iota(jnp.int32, (GROUP, chunk), 0).astype(
+        jnp.float32
+    )
+    oneh = (gid == gl).astype(jnp.float32)  # (8, chunk)
+    onehT = _t_to8(oneh)  # (chunk, 8)
+    # same-tile mask = onehTᵀ·oneh (0/1 exact in bf16 → exact product)
+    samet = jax.lax.dot(
+        onehT.astype(jnp.bfloat16), oneh.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
-    )  # (Q, TILE_H): rows[q, y] = B[y, q mod TILE_W]
-    qy = jax.lax.broadcasted_iota(jnp.int32, (_Q, TILE_H), 0)
-    yl = jax.lax.broadcasted_iota(jnp.int32, (_Q, TILE_H), 1)
-    sel = qy // TILE_W == yl
-    return jnp.sum(jnp.where(sel, rows, 0.0), axis=1, keepdims=True)
+    )  # (chunk, chunk)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri = (rows <= cols).astype(jnp.float32)
+    return oneh, onehT, samet * tri
 
 
 LOG_T_SKIP = -13.8  # ln(1e-6): chunk-level early-out threshold
 
 
-def _make_fwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
+def _make_fwd_kernel(chunk: int, total_chunks: int):
     """Forward compositing over a flat chunk grid.
 
     One grid step = one (16, chunk) slab; consecutive steps that share a
-    tile revisit the same output block (Pallas keeps it in VMEM and flushes
-    on tile change), and the pipeline emitter double-buffers the slab DMA —
-    there is no manual DMA and no per-tile warm-up stall.  Accumulators
-    (per-pixel rgb and log-transmittance) live in scratch, reset on each
-    tile's first chunk.
-
-    Chunk-level early-out (the TPU analogue of the CUDA kernel's per-pixel
-    ``T < 1e-4`` stop): a chunk is skipped when it has no live instance or
-    when every pixel of its tile is already saturated (log T < ln 1e-6 at
-    entry).  The decision is recorded per chunk in ``work_ref`` so the
-    backward sweep — which cannot know entry transmittance until too late —
-    skips exactly the same chunks (required for its subtractive logT
-    reconstruction to stay consistent).
+    tile group revisit the same output block (Pallas keeps it in VMEM and
+    flushes on group change), and the pipeline emitter double-buffers the
+    slab DMA — there is no manual DMA and no per-group warm-up stall.
+    Accumulators (per-pixel rgb and log-transmittance, (Q, 8) per group
+    tile) live in scratch, reset on each group's first chunk.
     """
 
-    def kernel(ct_ref, live_ref, packed_ref, rgb_ref, logt_ref, work_ref,
-               acc, ltc):
+    def kernel(cg_ref, live_ref, packed_ref, rgb_ref, logt_ref, work_ref,
+               acc_r, acc_g, acc_b, ltc):
         k = pl.program_id(0)
-        t = ct_ref[k]
-        is_first = jnp.logical_or(k == 0, t != ct_ref[jnp.maximum(k - 1, 0)])
+        g = cg_ref[k]
+        is_first = jnp.logical_or(k == 0, g != cg_ref[jnp.maximum(k - 1, 0)])
         is_last = jnp.logical_or(
             k == total_chunks - 1,
-            t != ct_ref[jnp.minimum(k + 1, total_chunks - 1)],
+            g != cg_ref[jnp.minimum(k + 1, total_chunks - 1)],
         )
 
         @pl.when(is_first)
         def _():
-            acc[...] = jnp.zeros_like(acc)
+            acc_r[...] = jnp.zeros_like(acc_r)
+            acc_g[...] = jnp.zeros_like(acc_g)
+            acc_b[...] = jnp.zeros_like(acc_b)
             ltc[...] = jnp.zeros_like(ltc)
 
-        lt = ltc[...]  # (Q, 1)
+        lt = ltc[...]  # (Q, 8)
         do_work = (live_ref[k] > 0) & (jnp.max(lt) > LOG_T_SKIP)
         # per-chunk work flag lives in SMEM (scalar memory): a (1,1) VMEM
         # block would violate Mosaic's (8,128) min-tile rule, and the flags
@@ -225,41 +218,41 @@ def _make_fwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
         @pl.when(do_work)
         def _():
             s = packed_ref[...]
-            px, py = _tile_px(t, tiles_x)
+            px, py = _tile_px()
             alpha, l1m, _, _, _, _ = _tile_alpha(s, px, py)
-            cum = _lane_cumsum(l1m)
-            w = alpha * jnp.exp(lt + cum - l1m)
-            a = acc[...]
-            contrib = [
-                jnp.sum(w * s[row : row + 1, :], axis=1, keepdims=True)
-                for row in (_CR, _CG, _CB2)
-            ]
-            acc[...] = a + jnp.concatenate(contrib, axis=1)
-            ltc[...] = lt + cum[:, chunk - 1 : chunk]
+            oneh, onehT, seg = _group_masks(s, chunk)
+            cum = _split_dot(l1m, seg)  # segmented inclusive scan
+            lt_sel = _split_dot(lt, oneh)  # (Q, chunk) entry logT per lane
+            w = alpha * jnp.exp(lt_sel + cum - l1m)
+            for acc, row in ((acc_r, _CR), (acc_g, _CG), (acc_b, _CB2)):
+                u = w * s[row : row + 1, :]
+                acc[...] = acc[...] + _split_dot(u, onehT)
+            ltc[...] = lt + _split_dot(l1m, onehT)
 
         @pl.when(is_last)
         def _():
-            a = acc[...]
-            for ch in range(3):
-                rgb_ref[ch] = _col_unstack(a[:, ch : ch + 1])
-            logt_ref[...] = _col_unstack(ltc[...])
+            rgb_ref[0] = _t_from8(acc_r[...])
+            rgb_ref[1] = _t_from8(acc_g[...])
+            rgb_ref[2] = _t_from8(acc_b[...])
+            logt_ref[...] = _t_from8(ltc[...])
 
     return kernel
 
 
-def _make_bwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
+def _make_bwd_kernel(chunk: int, total_chunks: int):
     """Backward sweep over the flat chunk grid in reverse.
 
-    Grid step k processes packed chunk ``total_chunks-1-k``, so tiles are
-    visited back-to-front in reverse tile order and each tile's image
-    cotangent blocks are fetched once (consecutive revisits).  The
-    per-chunk gradient slab is a normal pipelined output block.  Carries
-    (suffix color·ḡ and running log-transmittance) live in scratch,
-    initialized from the tile's logT cotangent on first (= deepest) chunk.
+    Grid step k processes packed chunk ``total_chunks-1-k``, so groups are
+    visited back-to-front in reverse order and each group's image cotangent
+    blocks are fetched once (consecutive revisits).  The per-chunk gradient
+    slab is a normal pipelined output block.  Carries (per-group suffix
+    color·ḡ and running log-transmittance, (Q, 8)) live in scratch,
+    initialized from the group's logT cotangent on its first (= deepest)
+    chunk.
     """
 
     def kernel(
-        ct_ref,
+        cg_ref,
         work_ref,
         packed_ref,
         grgb_ref,
@@ -268,27 +261,27 @@ def _make_bwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
         gout_ref,
         gB,
         ltc,
-        gpix,
+        gp_r,
+        gp_g,
+        gp_b,
     ):
         k = pl.program_id(0)
         c = total_chunks - 1 - k
-        t = ct_ref[c]
+        g = cg_ref[c]
         is_first = jnp.logical_or(
-            k == 0, t != ct_ref[jnp.minimum(c + 1, total_chunks - 1)]
+            k == 0, g != cg_ref[jnp.minimum(c + 1, total_chunks - 1)]
         )
 
         @pl.when(is_first)
         def _():
-            # blocks arrive H-major (…, TILE_H, TILE_W); restack into the
-            # kernel's (Q, 1) pixel-column orientation.
             # cotangent of the logT output IS gB's initialization:
             # dL/dα through T is -(ḡ_T·T + Σ_behind w·(ḡ·c))/(1-α);
             # ḡ_logT = ḡ_T·T.
-            gB[...] = _col_stack(glogt_ref[...])
-            ltc[...] = _col_stack(logt_ref[...])
-            gpix[...] = jnp.concatenate(
-                [_col_stack(grgb_ref[ch]) for ch in range(3)], axis=1
-            )
+            gB[...] = _t_to8(glogt_ref[...])
+            ltc[...] = _t_to8(logt_ref[...])
+            gp_r[...] = _t_to8(grgb_ref[0])
+            gp_g[...] = _t_to8(grgb_ref[1])
+            gp_b[...] = _t_to8(grgb_ref[2])
 
         # skip exactly the chunks the forward pass skipped: their instances
         # were never composited, so their grads are zero AND the logT carry
@@ -306,29 +299,31 @@ def _make_bwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
             cb = s[_CB : _CB + 1, :]
             cc = s[_CC : _CC + 1, :]
 
-            px, py = _tile_px(t, tiles_x)
+            px, py = _tile_px()
             alpha, l1m, dx, dy, raw, expp = _tile_alpha(s, px, py)
-            cum = _lane_cumsum(l1m)
-            sum_l = cum[:, chunk - 1 : chunk]
-            logt_in = ltc[...] - sum_l
-            t_excl = jnp.exp(logt_in + cum - l1m)
+            oneh, onehT, seg = _group_masks(s, chunk)
+            cum = _split_dot(l1m, seg)
+            suml8 = _split_dot(l1m, onehT)  # (Q, 8) in-chunk logT deltas
+            lt_entry = ltc[...] - suml8  # per-group logT at chunk entry
+            lt_in = _split_dot(lt_entry, oneh)  # per-lane entry logT
+            t_excl = jnp.exp(lt_in + cum - l1m)
             w = alpha * t_excl
 
-            g = gpix[...]  # (Q, 3)
-            gr = g[:, 0:1]
-            gg = g[:, 1:2]
-            gb_ = g[:, 2:3]
+            gr = _split_dot(gp_r[...], oneh)  # (Q, chunk) pixel cotangents
+            gg = _split_dot(gp_g[...], oneh)
+            gb_ = _split_dot(gp_b[...], oneh)
             gc = (
                 gr * s[_CR : _CR + 1, :]
                 + gg * s[_CG : _CG + 1, :]
                 + gb_ * s[_CB2 : _CB2 + 1, :]
             )
             u = w * gc
-            cum_u = _lane_cumsum(u)
-            total_u = cum_u[:, chunk - 1 : chunk]
+            totals8 = _split_dot(u, onehT)  # (Q, 8) per-group chunk totals
+            cum_u = _split_dot(u, seg)
+            tot_sel = _split_dot(totals8, oneh)
             # color behind each instance (pre-dotted with ḡ): carried gB plus
             # the in-chunk suffix.
-            gBk = gB[...] + (total_u - cum_u)
+            gBk = _split_dot(gB[...], oneh) + (tot_sel - cum_u)
 
             active = alpha > 0.0
             # at the 0.99 clamp dα/d(o·exp(power)) = 0
@@ -356,75 +351,73 @@ def _make_bwd_kernel(chunk: int, tiles_x: int, total_chunks: int):
                 axis=0,
             )
 
-            gB[...] = gB[...] + total_u
-            ltc[...] = logt_in
+            gB[...] = gB[...] + totals8
+            ltc[...] = lt_entry
 
     return kernel
 
 
-def build_grid_specs(chunk: int, tiles_x: int, total_chunks: int):
+def build_grid_specs(chunk: int, total_chunks: int):
     """Grid specs for the fwd/bwd compositing kernels (shared with tooling).
 
     Flat chunk grid: step k → packed chunk k (fwd) / total-1-k (bwd); the
-    chunk→tile table (scalar-prefetched) drives the image block indices.
-    Index maps receive both prefetched scalars (ct, aux) — aux is the
+    chunk→group table (scalar-prefetched) drives the image block indices.
+    Index maps receive both prefetched scalars (cg, aux) — aux is the
     chunk-liveness table (fwd) / the fwd-recorded work flags (bwd).
     """
 
-    def chunk_map(k, ct, aux):
+    def chunk_map(k, cg, aux):
         return (0, k)
 
-    def rgb_map_fwd(k, ct, aux):
-        t = ct[k]
-        return (0, t // tiles_x, t % tiles_x)
+    def rgb_map_fwd(k, cg, aux):
+        return (0, cg[k], 0)
 
-    def pix_map_fwd(k, ct, aux):
-        t = ct[k]
-        return (t // tiles_x, t % tiles_x)
+    def pix_map_fwd(k, cg, aux):
+        return (cg[k], 0)
 
-    def chunk_map_rev(k, ct, aux):
+    def chunk_map_rev(k, cg, aux):
         return (0, total_chunks - 1 - k)
 
-    def rgb_map_bwd(k, ct, aux):
-        t = ct[total_chunks - 1 - k]
-        return (0, t // tiles_x, t % tiles_x)
+    def rgb_map_bwd(k, cg, aux):
+        return (0, cg[total_chunks - 1 - k], 0)
 
-    def pix_map_bwd(k, ct, aux):
-        t = ct[total_chunks - 1 - k]
-        return (t // tiles_x, t % tiles_x)
+    def pix_map_bwd(k, cg, aux):
+        return (cg[total_chunks - 1 - k], 0)
 
     fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # chunk→tile table, chunk liveness
+        num_scalar_prefetch=2,  # chunk→group table, chunk liveness
         grid=(total_chunks,),
         in_specs=[
             pl.BlockSpec((PACK_ROWS, chunk), chunk_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((3, TILE_H, TILE_W), rgb_map_fwd,
+            pl.BlockSpec((3, GROUP, _Q), rgb_map_fwd,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), pix_map_fwd,
+            pl.BlockSpec((GROUP, _Q), pix_map_fwd,
                          memory_space=pltpu.VMEM),
             # per-chunk work flags: whole-array SMEM block (trivial window)
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_Q, 3), jnp.float32),  # rgb accumulator
-            pltpu.VMEM((_Q, 1), jnp.float32),  # log-transmittance carry
+            pltpu.VMEM((_Q, GROUP), jnp.float32),  # r accumulator
+            pltpu.VMEM((_Q, GROUP), jnp.float32),  # g accumulator
+            pltpu.VMEM((_Q, GROUP), jnp.float32),  # b accumulator
+            pltpu.VMEM((_Q, GROUP), jnp.float32),  # log-transmittance carry
         ],
     )
 
     bwd_grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # chunk→tile table, fwd-recorded work flags
+        num_scalar_prefetch=2,  # chunk→group table, fwd-recorded work flags
         grid=(total_chunks,),
         in_specs=[
             pl.BlockSpec((PACK_ROWS, chunk), chunk_map_rev,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_H, TILE_W), rgb_map_bwd,
+            pl.BlockSpec((3, GROUP, _Q), rgb_map_bwd,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), pix_map_bwd,
+            pl.BlockSpec((GROUP, _Q), pix_map_bwd,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), pix_map_bwd,
+            pl.BlockSpec((GROUP, _Q), pix_map_bwd,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -432,9 +425,11 @@ def build_grid_specs(chunk: int, tiles_x: int, total_chunks: int):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_Q, 1), jnp.float32),  # suffix color·ḡ carry
-            pltpu.VMEM((_Q, 1), jnp.float32),  # log-transmittance carry
-            pltpu.VMEM((_Q, 3), jnp.float32),  # per-pixel rgb cotangent
+            pltpu.VMEM((_Q, GROUP), jnp.float32),  # suffix color·ḡ carry
+            pltpu.VMEM((_Q, GROUP), jnp.float32),  # log-transmittance carry
+            pltpu.VMEM((_Q, GROUP), jnp.float32),  # r cotangent (per group)
+            pltpu.VMEM((_Q, GROUP), jnp.float32),  # g cotangent
+            pltpu.VMEM((_Q, GROUP), jnp.float32),  # b cotangent
         ],
     )
     return fwd_grid_spec, bwd_grid_spec
@@ -452,17 +447,38 @@ def _build_rasterizer(
     """Build (and cache) the custom-VJP rasterizer for a static shape set."""
     tiles_x, tiles_y = tile_grid(width, height)
     num_tiles = tiles_x * tiles_y
+    n_groups = cdiv(num_tiles, GROUP)
     hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
-    padded_cap = instance_cap + num_tiles * chunk
+    padded_cap = instance_cap + n_groups * chunk
 
-    # image blocks are H-major: array (3, Hp, Wp), tile block (3, 8, 128)
     total_chunks = padded_cap // chunk
     assert padded_cap % chunk == 0, (padded_cap, chunk)
 
-    fwd_kernel = _make_fwd_kernel(chunk, tiles_x, total_chunks)
-    bwd_kernel = _make_bwd_kernel(chunk, tiles_x, total_chunks)
-    fwd_grid_spec, bwd_grid_spec = build_grid_specs(
-        chunk, tiles_x, total_chunks)
+    fwd_kernel = _make_fwd_kernel(chunk, total_chunks)
+    bwd_kernel = _make_bwd_kernel(chunk, total_chunks)
+    fwd_grid_spec, bwd_grid_spec = build_grid_specs(chunk, total_chunks)
+
+    def untile(x):
+        """(…, G·8, Q) tile-major → (…, hp, wp) image rows."""
+        lead = x.shape[:-2]
+        x = x[..., :num_tiles, :].reshape(
+            lead + (tiles_y, tiles_x, TILE_H, TILE_W)
+        )
+        x = jnp.swapaxes(x, -3, -2)  # (…, ty, TILE_H, tx, TILE_W)
+        return x.reshape(lead + (hp, wp))
+
+    def retile(x):
+        """(…, hp, wp) image rows → (…, G·8, Q) tile-major (pads groups)."""
+        lead = x.shape[:-2]
+        x = x.reshape(lead + (tiles_y, TILE_H, tiles_x, TILE_W))
+        x = jnp.swapaxes(x, -3, -2)
+        x = x.reshape(lead + (num_tiles, _Q))
+        pad = n_groups * GROUP - num_tiles
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros(lead + (pad, _Q), x.dtype)], axis=-2
+            )
+        return x
 
     def run_forward(mean2d, depth, conic, radius, validf, colors, opacities):
         sg = jax.lax.stop_gradient
@@ -475,12 +491,12 @@ def _build_rasterizer(
             fwd_kernel,
             grid_spec=fwd_grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
-                jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((3, n_groups * GROUP, _Q), jnp.float32),
+                jax.ShapeDtypeStruct((n_groups * GROUP, _Q), jnp.float32),
                 jax.ShapeDtypeStruct((total_chunks,), jnp.int32),
             ],
             interpret=interpret,
-        )(binning.chunk_tile, binning.chunk_live, packed)
+        )(binning.chunk_group, binning.chunk_live, packed)
         return rgb, logt, work, binning, packed
 
     @jax.custom_vjp
@@ -488,32 +504,33 @@ def _build_rasterizer(
         rgb, logt, _, _, _ = run_forward(
             mean2d, depth, conic, radius, validf, colors, opacities
         )
-        return rgb, logt
+        return untile(rgb), untile(logt)
 
     def rasterize_fwd(mean2d, depth, conic, radius, validf, colors, opacities):
         rgb, logt, work, binning, packed = run_forward(
             mean2d, depth, conic, radius, validf, colors, opacities
         )
-        return (rgb, logt), (binning.chunk_tile, work,
-                             binning.dest_exp, binning.rank_offsets,
-                             binning.order, packed, logt)
+        return (untile(rgb), untile(logt)), (
+            binning.chunk_group, work, binning.dest_exp,
+            binning.rank_offsets, binning.order, packed, logt,
+        )
 
     def rasterize_bwd(res, cotangents):
-        (chunk_tile, work, dest_exp, rank_offsets, order, packed, logt) = res
+        (chunk_group, work, dest_exp, rank_offsets, order, packed, logt) = res
         g_rgb, g_logt = cotangents
         gpacked = pl.pallas_call(
             bwd_kernel,
             grid_spec=bwd_grid_spec,
             out_shape=[jax.ShapeDtypeStruct((PACK_ROWS, padded_cap), jnp.float32)],
             interpret=interpret,
-        )(chunk_tile, work, packed, g_rgb, g_logt, logt)[0]
+        )(chunk_group, work, packed, retile(g_rgb), retile(g_logt), logt)[0]
 
         # per-instance grads → per-Gaussian grads without any scatter-add:
         # gather to expansion order (contiguous per depth rank), one Pallas
         # prefix scan, two gathers (ops/segscan.py), then un-rank.  The XLA
-        # transpose is one linear 68 MB pass (Mosaic can't DMA 16-lane
-        # slices, so the kernel writes attribute-major); the barrier stops
-        # XLA from fusing it into the gather as strided per-row reads.
+        # transpose is one linear pass (Mosaic can't DMA 16-lane slices, so
+        # the kernel writes attribute-major); the barrier stops XLA from
+        # fusing it into the gather as strided per-row reads.
         # only the first 9 attribute rows carry gradients — slicing before
         # the transpose/gather nearly halves their HBM traffic
         gpacked_t = jax.lax.optimization_barrier(gpacked[:9].T)

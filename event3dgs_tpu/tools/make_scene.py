@@ -1,0 +1,167 @@
+"""Synthesize a `train_colmap_easy`-style COLMAP scene on disk.
+
+The reference ships its simulated training scene as binary data; this tool
+generates an equivalent one procedurally (BASELINE configs 1-2): a known
+Gaussian world rendered with the oracle rasterizer along a camera orbit,
+written out with the reference's 4-folder dataset contract
+(`scene/dataset_readers.py:134-227`):
+
+    <out>/
+      sparse/0/{cameras.bin, images.bin, points3D.bin, points3D.ply}
+      images/        train intensity frames (gray loss GT)
+      images_event/  event-timed intensity frames (event-pair loss GT)
+      renders/       held-out ground truth (eval protocol, `eval.py:118-152`)
+
+All folders share the COLMAP poses; the init point cloud is the true
+point set perturbed by `init_noise` (the scene must be *learned*, not
+copied).  Usage:
+
+    python -m event3dgs_tpu.tools.make_scene -o /tmp/train_colmap_easy \
+        --views 100 --width 400 --height 400 --gaussians 400
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from event3dgs_tpu.data.colmap import (
+    ColmapCamera,
+    ColmapImage,
+    rotmat2qvec,
+    write_model,
+)
+from event3dgs_tpu.data.ply import store_point_cloud
+from event3dgs_tpu.utils.image_io import save_image
+
+
+def synthesize_scene(
+    out_dir: str,
+    n_views: int = 100,
+    width: int = 400,
+    height: int = 400,
+    n_gaussians: int = 400,
+    seed: int = 0,
+    init_noise: float = 0.05,
+    arc: float = 2.0 * np.pi,
+) -> dict:
+    import jax.numpy as jnp
+
+    from event3dgs_tpu.core.camera import make_camera
+    from event3dgs_tpu.core.sh import rgb_to_sh
+    from event3dgs_tpu.core.transforms import fov2focal
+    from event3dgs_tpu.ops import render
+
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n_gaussians, 3)) * np.array([0.9, 0.6, 0.9])
+    cols = rng.uniform(0.1, 1.0, size=(n_gaussians, 3))
+    scales = np.exp(
+        rng.uniform(np.log(0.04), np.log(0.14), size=(n_gaussians, 1))
+    )
+    scales = np.tile(scales, (1, 3)) * rng.uniform(
+        0.7, 1.4, size=(n_gaussians, 3)
+    )
+    quats = rng.normal(size=(n_gaussians, 4))
+    opac = rng.uniform(0.55, 0.95, size=n_gaussians)
+
+    means = jnp.asarray(pts, jnp.float32)
+    feats = jnp.zeros((n_gaussians, 16, 3), jnp.float32)
+    feats = feats.at[:, 0, :].set(rgb_to_sh(jnp.asarray(cols, jnp.float32)))
+    scales_j = jnp.asarray(scales, jnp.float32)
+    quats_j = jnp.asarray(quats, jnp.float32)
+    opac_j = jnp.asarray(opac, jnp.float32)
+
+    fov_x, fov_y = 1.0, 1.0 if width == height else 0.8
+    # orbit poses (same geometry as data/synthetic.py: orbit_cameras), kept
+    # explicit here because the COLMAP writer needs the raw R/t
+    radius, cam_height = 4.0, 0.6
+    poses = []  # (R_c2w, t_w2c)
+    for i in range(n_views):
+        theta = arc * i / n_views
+        pos = np.array(
+            [radius * np.sin(theta), cam_height, -radius * np.cos(theta)]
+        )
+        fwd = -pos / np.linalg.norm(pos)
+        up = np.array([0.0, -1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        r_c2w = np.stack([right, up2, fwd], axis=1)
+        poses.append((r_c2w, -r_c2w.T @ pos))
+    cams = [
+        make_camera(r, t, fov_x, fov_y, width, height) for r, t in poses
+    ]
+
+    for sub in ("sparse/0", "images", "images_event", "renders"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    bg = jnp.zeros(3)
+    for i, cam in enumerate(cams):
+        img = np.clip(np.array(
+            render(means, feats, opac_j, scales_j, quats_j, cam, bg,
+                   sh_degree=0).image
+        ), 0.0, 1.0)
+        name = f"r_{i:05d}.png"
+        for folder in ("images", "images_event", "renders"):
+            save_image(os.path.join(out_dir, folder, name), img)
+
+    # COLMAP model: shared PINHOLE intrinsics, per-view extrinsics.  The
+    # loader stores R = qvec2rotmat(qvec).T and our orbit cameras carry
+    # R_c2w, so qvec encodes the w2c rotation (R_c2w.T).
+    focal_x = fov2focal(fov_x, width)
+    focal_y = fov2focal(fov_y, height)
+    colmap_cams = {
+        1: ColmapCamera(
+            id=1, model="PINHOLE", width=width, height=height,
+            params=np.array([focal_x, focal_y, width / 2.0, height / 2.0]),
+        )
+    }
+    colmap_images = {}
+    for i, (r_c2w, tvec) in enumerate(poses):
+        colmap_images[i + 1] = ColmapImage(
+            id=i + 1,
+            qvec=rotmat2qvec(r_c2w.T),
+            tvec=tvec,
+            camera_id=1,
+            name=f"r_{i:05d}.png",
+        )
+
+    sparse = os.path.join(out_dir, "sparse", "0")
+    init_pts = pts + rng.normal(size=pts.shape) * init_noise
+    init_rgb = np.clip(cols * 255.0, 0, 255)
+    write_model(colmap_cams, colmap_images, (init_pts, init_rgb), sparse)
+    store_point_cloud(
+        os.path.join(sparse, "points3D.ply"), init_pts, init_rgb
+    )
+    return dict(
+        n_views=n_views, width=width, height=height,
+        n_gaussians=n_gaussians,
+        true_model=dict(means=pts, colors=cols, scales=scales, quats=quats,
+                        opacities=opac),
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Synthesize a train_colmap_easy-style COLMAP scene"
+    )
+    p.add_argument("--output", "-o", required=True)
+    p.add_argument("--views", type=int, default=100)
+    p.add_argument("--width", type=int, default=400)
+    p.add_argument("--height", type=int, default=400)
+    p.add_argument("--gaussians", type=int, default=400)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init_noise", type=float, default=0.05)
+    args = p.parse_args(argv)
+    meta = synthesize_scene(
+        args.output, args.views, args.width, args.height, args.gaussians,
+        args.seed, args.init_noise,
+    )
+    print(f"wrote {meta['n_views']}-view scene to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -32,12 +32,18 @@ def test_fast_path_matches_xla_path(seed):
                          use_counting_sort=True, **kw)
     slow = bin_gaussians(proj.mean2d, proj.depth, proj.radius, proj.valid,
                          use_counting_sort=False, **kw)
-    np.testing.assert_array_equal(np.array(fast.tile_chunks),
-                                  np.array(slow.tile_chunks))
+    np.testing.assert_array_equal(np.array(fast.tile_counts),
+                                  np.array(slow.tile_counts))
     np.testing.assert_array_equal(np.array(fast.tile_offsets),
                                   np.array(slow.tile_offsets))
     np.testing.assert_array_equal(np.array(fast.inst_gauss),
                                   np.array(slow.inst_gauss))
+    np.testing.assert_array_equal(np.array(fast.slab_tile),
+                                  np.array(slow.slab_tile))
+    np.testing.assert_array_equal(np.array(fast.chunk_group),
+                                  np.array(slow.chunk_group))
+    np.testing.assert_array_equal(np.array(fast.chunk_live),
+                                  np.array(slow.chunk_live))
     assert int(fast.overflow) == int(slow.overflow)
 
 

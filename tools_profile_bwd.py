@@ -39,13 +39,13 @@ interp = jax.default_backend() != "tpu"
 
 tiles_x, tiles_y = tile_grid(W, H)
 hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
-padded_cap = icap + tiles_x * tiles_y * CHUNK
+n_groups = -(-(tiles_x * tiles_y) // rt.GROUP)
+padded_cap = icap + n_groups * CHUNK
 total_chunks = padded_cap // CHUNK
 
-fwd_kernel = rt._make_fwd_kernel(CHUNK, tiles_x, total_chunks)
-bwd_kernel = rt._make_bwd_kernel(CHUNK, tiles_x, total_chunks)
-fwd_grid_spec, bwd_grid_spec = rt.build_grid_specs(CHUNK, tiles_x,
-                                                   total_chunks)
+fwd_kernel = rt._make_fwd_kernel(CHUNK, total_chunks)
+bwd_kernel = rt._make_bwd_kernel(CHUNK, total_chunks)
+fwd_grid_spec, bwd_grid_spec = rt.build_grid_specs(CHUNK, total_chunks)
 
 
 # --- precompute residuals once (host-side snapshot) ------------------------
@@ -64,15 +64,17 @@ b, packed = residuals(means, scales, rots, opac, colors)
 def run_fwd_kernel(ct, live, packed, eps):
     rgb, logt, work = pl.pallas_call(
         fwd_kernel, grid_spec=fwd_grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
-                   jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((3, n_groups * rt.GROUP, rt._Q),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_groups * rt.GROUP, rt._Q),
+                                        jnp.float32),
                    jax.ShapeDtypeStruct((total_chunks,), jnp.int32)],
         interpret=interp,
     )(ct, live, packed + eps)
     return rgb, logt, work
 
 
-rgb, logt, work = run_fwd_kernel(b.chunk_tile, b.chunk_live, packed,
+rgb, logt, work = run_fwd_kernel(b.chunk_group, b.chunk_live, packed,
                                  jnp.float32(0.0))
 g_rgb = rgb * 2.0
 g_logt = logt * 0.1
@@ -88,7 +90,7 @@ def run_bwd_kernel(ct, work, packed, g_rgb, g_logt, logt, eps):
     return gpacked
 
 
-gpacked = run_bwd_kernel(b.chunk_tile, work, packed, g_rgb, g_logt, logt,
+gpacked = run_bwd_kernel(b.chunk_group, work, packed, g_rgb, g_logt, logt,
                          jnp.float32(0.0))
 
 
@@ -116,8 +118,8 @@ def timed(name, fn, *args):
     return dt
 
 
-timed("fwd kernel alone", run_fwd_kernel, b.chunk_tile, b.chunk_live, packed)
-timed("bwd kernel alone", run_bwd_kernel, b.chunk_tile, work, packed, g_rgb,
+timed("fwd kernel alone", run_fwd_kernel, b.chunk_group, b.chunk_live, packed)
+timed("bwd kernel alone", run_bwd_kernel, b.chunk_group, work, packed, g_rgb,
       g_logt, logt)
 timed("grad reduce alone", run_reduce, gpacked, b.dest_exp, b.rank_offsets,
       b.order)

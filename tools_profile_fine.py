@@ -53,7 +53,7 @@ def s_proj(m, s, r, o, eps):
 def s_bin_live(m, s, r, o, eps):
     p = project_gaussians(m + eps, s, r, cam, opacities=o)
     b = bin_gaussians(p.mean2d, p.depth, p.radius, p.valid, W, H, icap, CHUNK)
-    return b.chunk_tile.sum() + b.inst_gauss.sum()
+    return b.chunk_group.sum() + b.inst_gauss.sum()
 
 
 @jax.jit
@@ -61,7 +61,7 @@ def s_bin_pack(m, s, r, o, c, eps):
     p = project_gaussians(m + eps, s, r, cam, opacities=o)
     b = bin_gaussians(p.mean2d, p.depth, p.radius, p.valid, W, H, icap, CHUNK)
     packed = pack_instances(b, p.mean2d, p.conic, c, o)
-    return b.chunk_tile.sum() + packed.sum()
+    return b.chunk_group.sum() + packed.sum()
 
 
 @jax.jit
@@ -69,7 +69,7 @@ def s_bin_res(m, s, r, o, c, eps):
     p = project_gaussians(m + eps, s, r, cam, opacities=o)
     b = bin_gaussians(p.mean2d, p.depth, p.radius, p.valid, W, H, icap, CHUNK)
     packed = pack_instances(b, p.mean2d, p.conic, c, o)
-    return (b.chunk_tile.sum() + packed.sum() + b.dest_exp.sum()
+    return (b.chunk_group.sum() + packed.sum() + b.dest_exp.sum()
             + b.rank_offsets.sum() + b.order.sum())
 
 
