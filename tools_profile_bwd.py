@@ -45,7 +45,6 @@ total_chunks = padded_cap // CHUNK
 
 fwd_kernel = rt._make_fwd_kernel(CHUNK, total_chunks)
 bwd_kernel = rt._make_bwd_kernel(CHUNK, total_chunks)
-fwd_grid_spec, bwd_grid_spec = rt.build_grid_specs(CHUNK, total_chunks)
 
 
 # --- precompute residuals once (host-side snapshot) ------------------------
@@ -61,7 +60,9 @@ b, packed = residuals(means, scales, rots, opac, colors)
 
 
 @jax.jit
-def run_fwd_kernel(ct, live, packed, eps):
+def run_fwd_kernel(ct, live, nu, packed, eps):
+    fwd_grid_spec, _ = rt.build_grid_specs(
+        CHUNK, total_chunks, total_chunks if interp else nu[0])
     rgb, logt, work = pl.pallas_call(
         fwd_kernel, grid_spec=fwd_grid_spec,
         out_shape=[jax.ShapeDtypeStruct((3, n_groups * rt.GROUP, rt._Q),
@@ -70,27 +71,30 @@ def run_fwd_kernel(ct, live, packed, eps):
                                         jnp.float32),
                    jax.ShapeDtypeStruct((total_chunks,), jnp.int32)],
         interpret=interp,
-    )(ct, live, packed + eps)
+    )(ct, live, nu, packed + eps)
     return rgb, logt, work
 
 
-rgb, logt, work = run_fwd_kernel(b.chunk_group, b.chunk_live, packed,
+nu = b.n_used_chunks.reshape(1)
+rgb, logt, work = run_fwd_kernel(b.chunk_group, b.chunk_live, nu, packed,
                                  jnp.float32(0.0))
 g_rgb = rgb * 2.0
 g_logt = logt * 0.1
 
 
 @jax.jit
-def run_bwd_kernel(ct, work, packed, g_rgb, g_logt, logt, eps):
+def run_bwd_kernel(ct, work, nu, packed, g_rgb, g_logt, logt, eps):
+    _, bwd_grid_spec = rt.build_grid_specs(
+        CHUNK, total_chunks, total_chunks if interp else nu[0])
     gpacked = pl.pallas_call(
         bwd_kernel, grid_spec=bwd_grid_spec,
         out_shape=[jax.ShapeDtypeStruct((PACK_ROWS, padded_cap), jnp.float32)],
         interpret=interp,
-    )(ct, work, packed + eps, g_rgb, g_logt, logt)[0]
+    )(ct, work, nu, packed + eps, g_rgb, g_logt, logt)[0]
     return gpacked
 
 
-gpacked = run_bwd_kernel(b.chunk_group, work, packed, g_rgb, g_logt, logt,
+gpacked = run_bwd_kernel(b.chunk_group, work, nu, packed, g_rgb, g_logt, logt,
                          jnp.float32(0.0))
 
 
@@ -118,8 +122,8 @@ def timed(name, fn, *args):
     return dt
 
 
-timed("fwd kernel alone", run_fwd_kernel, b.chunk_group, b.chunk_live, packed)
-timed("bwd kernel alone", run_bwd_kernel, b.chunk_group, work, packed, g_rgb,
+timed("fwd kernel alone", run_fwd_kernel, b.chunk_group, b.chunk_live, nu, packed)
+timed("bwd kernel alone", run_bwd_kernel, b.chunk_group, work, nu, packed, g_rgb,
       g_logt, logt)
 timed("grad reduce alone", run_reduce, gpacked, b.dest_exp, b.rank_offsets,
       b.order)

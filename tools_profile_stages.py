@@ -91,7 +91,7 @@ def bin_pack_fwd(m, s, r, o, c, eps):
     p = project_gaussians(m + eps, s, r, cam, opacities=o)
     b = bin_gaussians(p.mean2d, p.depth, p.radius, p.valid, W, H, icap, 128)
     packed = pack_instances(b, p.mean2d, p.conic, c, o)
-    return b.tile_offsets.sum() + b.tile_chunks.sum() + packed.sum()
+    return b.tile_offsets.sum() + b.chunk_group.sum() + packed.sum()
 
 @jax.jit
 def bin_pack_res(m, s, r, o, c, eps):
@@ -99,7 +99,7 @@ def bin_pack_res(m, s, r, o, c, eps):
     p = project_gaussians(m + eps, s, r, cam, opacities=o)
     b = bin_gaussians(p.mean2d, p.depth, p.radius, p.valid, W, H, icap, 128)
     packed = pack_instances(b, p.mean2d, p.conic, c, o)
-    return (b.tile_offsets.sum() + b.tile_chunks.sum() + packed.sum()
+    return (b.tile_offsets.sum() + b.chunk_group.sum() + packed.sum()
             + b.dest_exp.sum() + b.rank_offsets.sum() + b.order.sum())
 
 t1 = timed("proj+bin+pack (fwd view)", bin_pack_fwd, means, scales, rots, opac, colors)
