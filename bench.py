@@ -36,6 +36,8 @@ def main():
     from event3dgs_tpu.ops.projection import project_gaussians
     from event3dgs_tpu.ops.rasterize_tiled import rasterize_tiled
 
+    from event3dgs_tpu.ops.binning import count_instances, suggest_instance_cap
+
     cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.75, WIDTH, HEIGHT)
     rng = np.random.default_rng(0)
     n = N_GAUSSIANS
@@ -49,7 +51,16 @@ def main():
     opac = jnp.asarray(rng.uniform(0.3, 0.9, n), jnp.float32)
     colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
     bg = jnp.zeros(3)
-    icap = 8 * n
+    # adaptive instance budget, as the training loop sizes it: observed
+    # count + 30% margin (the CUDA baseline allocates exactly per frame;
+    # our static cap re-jits on overflow — see train/loop capacity growth)
+    @jax.jit
+    def _count(m, s, r, o):
+        from event3dgs_tpu.ops.projection import project_gaussians as pg
+        p = pg(m, s, r, cam, opacities=o)
+        return count_instances(p.mean2d, p.radius, p.valid, WIDTH, HEIGHT)
+
+    icap = suggest_instance_cap(int(_count(means, scales, rots, opac)))
     interpret = jax.default_backend() != "tpu"
 
     @jax.jit

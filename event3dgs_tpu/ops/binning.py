@@ -35,6 +35,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 TILE_H = 32
@@ -104,6 +105,37 @@ def _group_layout(t_count, num_tiles: int, chunk: int):
     return tile_start.astype(jnp.int32), group_offsets
 
 
+def count_instances(
+    mean2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    valid: jnp.ndarray,
+    width: int,
+    height: int,
+) -> jnp.ndarray:
+    """Scalar total of (tile, gaussian) instances for a projected scene.
+
+    The cheap counting half of :func:`bin_gaussians`, for sizing
+    ``instance_cap`` adaptively: the CUDA rasterizer allocates its
+    instance buffer exactly per frame (SURVEY §2.3); the TPU equivalent is
+    a static cap chosen from a recent count plus margin, re-jitted (rare)
+    when the count outgrows it — every pipeline stage from expansion
+    through gradient reduction scales with the cap, so a tight cap matters.
+    """
+    tiles_x, tiles_y = tile_grid(width, height)
+    mx, my = mean2d[:, 0], mean2d[:, 1]
+    x0 = jnp.clip(jnp.floor((mx - radius) / TILE_W), 0, tiles_x)
+    y0 = jnp.clip(jnp.floor((my - radius) / TILE_H), 0, tiles_y)
+    x1 = jnp.clip(jnp.floor((mx + radius + TILE_W - 1) / TILE_W), 0, tiles_x)
+    y1 = jnp.clip(jnp.floor((my + radius + TILE_H - 1) / TILE_H), 0, tiles_y)
+    counts = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
+    return jnp.where(valid, counts, 0).sum().astype(jnp.int32)
+
+
+def suggest_instance_cap(total: int, margin: float = 1.3) -> int:
+    """Round an observed instance count up by ``margin`` to a 1024 multiple."""
+    return max(-(-int(int(total) * margin) // 1024) * 1024, 1024)
+
+
 def bin_gaussians(
     mean2d: jnp.ndarray,  # [N, 2]
     depth: jnp.ndarray,  # [N] (+inf for culled)
@@ -114,6 +146,7 @@ def bin_gaussians(
     instance_cap: int,
     chunk: int,
     use_counting_sort: bool | None = None,
+    opacities: jnp.ndarray | None = None,
 ) -> Binning:
     n = mean2d.shape[0]
     tiles_x, tiles_y = tile_grid(width, height)
@@ -143,6 +176,19 @@ def bin_gaussians(
     rh = jnp.maximum(y1 - y0, 0)
     counts = jnp.where(valid, rw * rh, 0)
 
+    # alpha-min cull radius: beyond sqrt(2·ln(255·o))·σmax every pixel has
+    # α < 1/255 (the compositing kernels' cutoff), so rect tiles entirely
+    # outside this circle can be dropped with zero output change.  radius/3
+    # ≥ σmax (radius = ceil(3σ)), keeping the bound conservative.
+    if opacities is not None:
+        rcull = radius * (
+            jnp.sqrt(2.0 * jnp.maximum(
+                jnp.log(255.0 * jnp.maximum(opacities, 1e-12)), 0.0
+            )) / 3.0
+        )
+    else:
+        rcull = radius * float(np.sqrt(2.0 * np.log(255.0)) / 3.0)
+
     # --- global depth sort -------------------------------------------------
     # Zero-count Gaussians (culled, or valid-but-empty-rect at the image
     # edge) must sort last: the Pallas expansion kernel relies on the source
@@ -166,7 +212,8 @@ def bin_gaussians(
 
         interp_x = jax.default_backend() != "tpu"
         tile, g = expand_instances(
-            offsets, order, x0, y0, rw, instance_cap, tiles_x, num_tiles,
+            offsets, order, x0, y0, rw, mean2d, rcull, instance_cap,
+            tiles_x, num_tiles, tile_w=TILE_W, tile_h=TILE_H,
             interpret=interp_x,
         )
     else:
@@ -181,6 +228,14 @@ def bin_gaussians(
         grw = jnp.maximum(rw[g], 1)
         tx = x0[g] + j % grw
         ty = y0[g] + j // grw
+        # same alpha-min coverage cull as the Pallas expansion path
+        px0 = (tx * TILE_W).astype(jnp.float32)
+        py0 = (ty * TILE_H).astype(jnp.float32)
+        mxg, myg = mx[g], my[g]
+        dxm = jnp.maximum(jnp.maximum(px0 - mxg, mxg - (px0 + TILE_W - 1)), 0.0)
+        dym = jnp.maximum(jnp.maximum(py0 - myg, myg - (py0 + TILE_H - 1)), 0.0)
+        covered = dxm * dxm + dym * dym <= (rcull[g] + 1.0) ** 2
+        live = live & covered
         tile = jnp.where(live, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
         g = jnp.where(live, g, n).astype(jnp.int32)
 
@@ -271,9 +326,10 @@ def bin_gaussians(
         .at[dest]
         .set(slab_tile_src, mode="drop")
     )
-    slot_group = chunk_group[
-        jnp.arange(padded_cap, dtype=jnp.int32) // chunk
-    ]
+    # broadcast, NOT a gather: chunk_group repeated chunk times per slot
+    slot_group = jnp.broadcast_to(
+        chunk_group[:, None], (n_chunks, chunk)
+    ).reshape(-1)
     is_pad = inst_gauss >= n
     slab_tile = jnp.where(is_pad, slot_group * GROUP, slab_tile)
 

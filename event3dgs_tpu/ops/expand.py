@@ -30,11 +30,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 1024  # instances per grid step (8 sublane rows × 128 lanes)
-CAND = 1152  # candidate gaussians per block (9 × 128 ≥ BLOCK + alignment)
+WIN = 1024  # candidate window granularity: two adjacent (16, WIN) windows
+# cover any block's rank span (≤ BLOCK ranks, ≤ WIN alignment slack) and are
+# fetched as ordinary pipelined BlockSpec inputs — consecutive grid steps
+# usually revisit the same windows, so the pipeline emitter skips the DMA
 ATTR_ROWS = 16
 
-# attribute-major slab rows
-_A_OFF, _A_G, _A_X0, _A_Y0, _A_RW = range(5)
+# attribute-major slab rows (_A_OFF2 = offsets shifted by one rank, so the
+# kernel's one-hot is a two-indicator difference with no rank arithmetic)
+_A_OFF, _A_OFF2, _A_G, _A_X0, _A_Y0, _A_RW, _A_MX, _A_MY, _A_RC2 = range(9)
 
 
 def _mxu_t(x):
@@ -50,14 +54,15 @@ def _mxu_t(x):
     )
 
 
-def _expand_kernel_factory(tiles_x: int, num_tiles: int, n: int):
-    def kernel(klo_ref, total_ref, attrs_ref, tile_ref, g_ref, slab, sem):
+def _expand_kernel_factory(tiles_x: int, num_tiles: int, n: int,
+                           tile_w: int, tile_h: int):
+    def kernel(klo_ref, total_ref, win_a, win_b, tile_ref, g_ref):
         b = pl.program_id(0)
         total = total_ref[0]
 
         # Dead-block early-out: the instance budget is a static upper bound,
-        # but work past the dynamic ``total`` is pure sentinel — skip the DMA
-        # and all math so binning cost scales with the ACTUAL instance count.
+        # but work past the dynamic ``total`` is pure sentinel — skip all
+        # math so binning cost scales with the ACTUAL instance count.
         @pl.when(b * BLOCK >= total)
         def _dead():
             tile_ref[...] = jnp.full((8, 128), float(num_tiles), jnp.float32)
@@ -65,61 +70,73 @@ def _expand_kernel_factory(tiles_x: int, num_tiles: int, n: int):
 
         @pl.when(b * BLOCK < total)
         def _live():
-            k_lo = pl.multiple_of(klo_ref[b], 128)
-            dma = pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(k_lo, CAND)], slab, sem
+            # rank recovery + gather for ALL 1024 block instances at once.
+            # The one-hot is a *two-indicator difference*: candidate k is
+            # hot for instance i iff offs[k] ≤ i < offs[k+1] — no rank
+            # count, no cross-lane reduction, no equality pass.  ONE
+            # HIGHEST matmul per window then pulls every attribute row
+            # together ((BLOCK, WIN) @ (WIN, 16), f32-exact below 2²⁴ so
+            # integer offsets/ids survive).
+            ic = (
+                jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0) + b * BLOCK
             )
-            dma.start()
-            dma.wait()
-            s = slab[...]
-            offs_row = s[_A_OFF : _A_OFF + 1, :]  # (1, CAND)
-            g_row = s[_A_G : _A_G + 1, :]
-            x0_row = s[_A_X0 : _A_X0 + 1, :]
-            y0_row = s[_A_Y0 : _A_Y0 + 1, :]
-            rw_row = s[_A_RW : _A_RW + 1, :]
-            cand_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (1, CAND), 1
-            ).astype(jnp.float32)
+            icf = ic.astype(jnp.float32)
 
+            def gather_window(s):
+                offs_row = s[_A_OFF : _A_OFF + 1, :]  # (1, WIN)
+                offs2_row = s[_A_OFF2 : _A_OFF2 + 1, :]
+                onehot = (offs_row <= icf).astype(jnp.float32) - (
+                    offs2_row <= icf
+                ).astype(jnp.float32)
+                return jax.lax.dot_general(
+                    onehot, s, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (BLOCK, ATTR_ROWS)
+
+            a = gather_window(win_a[...]) + gather_window(win_b[...])
+
+            off_g = a[:, _A_OFF : _A_OFF + 1]
+            gsel = a[:, _A_G : _A_G + 1]
+            x0 = a[:, _A_X0 : _A_X0 + 1]
+            y0 = a[:, _A_Y0 : _A_Y0 + 1]
+            rw = jnp.maximum(a[:, _A_RW : _A_RW + 1], 1.0)
+            j = icf - off_g
+            jy = jnp.floor(j / rw)
+            jx = j - jy * rw
+            txc = x0 + jx
+            tyc = y0 + jy
+            tile = tyc * float(tiles_x) + txc
+
+            # coverage cull: drop rect tiles whose whole pixel box lies
+            # beyond the per-Gaussian alpha-min radius (rc² row) — every
+            # pixel there has α < 1/255, so the compositing kernels would
+            # zero it anyway; culling is output-exact and shrinks the
+            # packed stream (rect corners, ~10-20%).
+            mx = a[:, _A_MX : _A_MX + 1]
+            my = a[:, _A_MY : _A_MY + 1]
+            rc2 = a[:, _A_RC2 : _A_RC2 + 1]
+            px0 = txc * float(tile_w)
+            py0 = tyc * float(tile_h)
+            dxm = jnp.maximum(
+                jnp.maximum(px0 - mx, mx - (px0 + float(tile_w - 1))), 0.0
+            )
+            dym = jnp.maximum(
+                jnp.maximum(py0 - my, my - (py0 + float(tile_h - 1))), 0.0
+            )
+            covered = dxm * dxm + dym * dym <= rc2
+
+            live = (ic < total) & covered
+            tile = jnp.where(live, tile, float(num_tiles))
+            gsel = jnp.where(live, gsel, float(n))
+            # (BLOCK, 1) columns → (8, 128) output blocks: 128-row slices
+            # transposed onto lanes via eye-matmuls
             tile_rows = []
             g_rows = []
             for r in range(8):
-                ibase = (b * 8 + r) * 128
-                ic = (
-                    jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0) + ibase
-                )
-                icf = ic.astype(jnp.float32)
-                cnt = jnp.sum(
-                    (offs_row <= icf).astype(jnp.float32), axis=1,
-                    keepdims=True,
-                )
-                grank_rel = jnp.maximum(cnt - 1.0, 0.0)  # (128, 1)
-                onehot = (cand_iota == grank_rel).astype(
-                    jnp.float32
-                )  # (128, CAND)
-
-                # masked-sum gather: exactly one lane is hot per row, so a
-                # VPU multiply+row-reduce per attribute is an exact f32
-                # gather — ~2.5× cheaper than the 6-pass HIGHEST one-hot
-                # matmul it replaces (integer offsets need all 24 mantissa
-                # bits, ruling out the bf16 MXU paths).
-                def sel(row):
-                    return jnp.sum(onehot * row, axis=1, keepdims=True)
-
-                off_g = sel(offs_row)
-                gsel = sel(g_row)
-                x0 = sel(x0_row)
-                y0 = sel(y0_row)
-                rw = jnp.maximum(sel(rw_row), 1.0)
-                j = icf - off_g
-                jy = jnp.floor(j / rw)
-                jx = j - jy * rw
-                tile = (y0 + jy) * float(tiles_x) + (x0 + jx)
-                live = ic < total
-                tile = jnp.where(live, tile, float(num_tiles))
-                gsel = jnp.where(live, gsel, float(n))
-                tile_rows.append(_mxu_t(tile))  # (1, 128)
-                g_rows.append(_mxu_t(gsel))
+                sl = slice(r * 128, (r + 1) * 128)
+                tile_rows.append(_mxu_t(tile[sl]))  # (1, 128)
+                g_rows.append(_mxu_t(gsel[sl]))
             tile_ref[...] = jnp.concatenate(tile_rows, axis=0)
             g_ref[...] = jnp.concatenate(g_rows, axis=0)
 
@@ -128,23 +145,31 @@ def _expand_kernel_factory(tiles_x: int, num_tiles: int, n: int):
 
 @lru_cache(maxsize=32)
 def _build_expand(n_blocks: int, tiles_x: int, num_tiles: int, n: int,
-                  n_pad: int, interpret: bool):
-    kernel = _expand_kernel_factory(tiles_x, num_tiles, n)
+                  n_pad: int, tile_w: int, tile_h: int, interpret: bool):
+    kernel = _expand_kernel_factory(tiles_x, num_tiles, n, tile_w, tile_h)
+
+    def win_map_a(i, klo, total):
+        return (0, klo[i] // WIN)
+
+    def win_map_b(i, klo, total):
+        return (0, klo[i] // WIN + 1)
+
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_blocks,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[
+                pl.BlockSpec((ATTR_ROWS, WIN), win_map_a,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ATTR_ROWS, WIN), win_map_b,
+                             memory_space=pltpu.VMEM),
+            ],
             out_specs=[
                 pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((ATTR_ROWS, CAND), jnp.float32),
-                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=[
@@ -159,12 +184,19 @@ def expand_instances(
     offsets: jnp.ndarray,  # [N+1] int instance-range starts (depth order)
     order: jnp.ndarray,  # [N] depth order (gaussian index per rank)
     x0, y0, rw,  # [N] tile-rect data (UNORDERED, indexed by gaussian)
+    mean2d: jnp.ndarray,  # [N, 2] screen-space means (for coverage cull)
+    rcull: jnp.ndarray,  # [N] alpha-min cull radius in pixels
     instance_cap: int,
     tiles_x: int,
     num_tiles: int,
+    tile_w: int = 32,
+    tile_h: int = 32,
     interpret: bool = False,
 ):
     """Expand per-Gaussian tile rects into per-instance (tile, gaussian).
+
+    Rect tiles whose pixel box lies entirely beyond ``rcull`` of the mean
+    are dropped (their alpha is provably < 1/255 everywhere — output-exact).
 
     Returns (tile [instance_cap] int32 with `num_tiles` sentinel,
     gauss [instance_cap] int32 with `n` sentinel).
@@ -173,7 +205,8 @@ def expand_instances(
     if instance_cap % BLOCK:
         raise ValueError(f"instance_cap must be a multiple of {BLOCK}")
     n_blocks = instance_cap // BLOCK
-    n_pad = (-(n + 1)) % 128 + (n + 1) + CAND
+    # room for the B window one WIN past the last possible A window
+    n_pad = (-(-(n + 1) // WIN) + 1) * WIN
 
     # depth-ordered, attribute-major slab (f32-exact integer values)
     big = jnp.float32(3e24)  # > any instance id ⇒ compare always False
@@ -185,26 +218,35 @@ def expand_instances(
             src[order].astype(jnp.float32)
         )
 
+    offs2_row = jnp.full((n_pad,), big, jnp.float32).at[:n].set(
+        offsets[1:].astype(jnp.float32)
+    )
     attrs = jnp.zeros((ATTR_ROWS, n_pad), jnp.float32)
     attrs = attrs.at[_A_OFF].set(offs_row)
+    attrs = attrs.at[_A_OFF2].set(offs2_row)
     attrs = attrs.at[_A_G].set(
         jnp.zeros((n_pad,), jnp.float32).at[:n].set(order.astype(jnp.float32))
     )
     attrs = attrs.at[_A_X0].set(row(x0))
     attrs = attrs.at[_A_Y0].set(row(y0))
     attrs = attrs.at[_A_RW].set(row(rw))
+    attrs = attrs.at[_A_MX].set(row(mean2d[:, 0]))
+    attrs = attrs.at[_A_MY].set(row(mean2d[:, 1]))
+    # +1px margin absorbs f32 rounding of the distance test
+    attrs = attrs.at[_A_RC2].set(row((rcull + 1.0) ** 2))
 
     block_starts = jnp.arange(n_blocks, dtype=jnp.int32) * BLOCK
     grank_start = jnp.clip(
         jnp.searchsorted(offsets, block_starts, side="right") - 1, 0, n - 1
     ).astype(jnp.int32)
-    k_lo = jnp.clip((grank_start // 128) * 128, 0, n_pad - CAND).astype(
+    k_lo = jnp.clip((grank_start // WIN) * WIN, 0, n_pad - 2 * WIN).astype(
         jnp.int32
     )
     total = jnp.minimum(offsets[-1], instance_cap).astype(jnp.int32)
 
-    fn = _build_expand(n_blocks, tiles_x, num_tiles, n, n_pad, interpret)
-    tile_f, g_f = fn(k_lo, total[None], attrs)
+    fn = _build_expand(n_blocks, tiles_x, num_tiles, n, n_pad, tile_w,
+                       tile_h, interpret)
+    tile_f, g_f = fn(k_lo, total[None], attrs, attrs)
     return (
         tile_f.reshape(-1).astype(jnp.int32),
         g_f.reshape(-1).astype(jnp.int32),

@@ -501,10 +501,14 @@ def _make_bwd_kernel(chunk: int, total_chunks: int):
                 colrow(GROUP),  # d color g
                 colrow(2 * GROUP),  # d color b
             ]
-            gout_ref[...] = jnp.concatenate(
+            g16 = jnp.concatenate(
                 rows + [jnp.zeros((PACK_ROWS - 9, chunk), jnp.float32)],
                 axis=0,
             )
+            # emit the gradient slab *instance-major* ((chunk, 16) block):
+            # the reduction's permutation gather then reads it directly,
+            # with no full-slab XLA transpose pass in between.
+            gout_ref[...] = _t_right(g16, PACK_ROWS)
 
             gB[...] = gBsum
             ltc[...] = lt_entry
@@ -565,6 +569,9 @@ def build_grid_specs(chunk: int, total_chunks: int, grid_size=None):
         ],
     )
 
+    def gout_map_rev(k, cg, aux, nu):
+        return (nu[0] - 1 - k, 0)
+
     bwd_grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # chunk→group table, fwd work flags, n_used
         grid=(grid_size,),
@@ -579,7 +586,8 @@ def build_grid_specs(chunk: int, total_chunks: int, grid_size=None):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((PACK_ROWS, chunk), chunk_map_rev,
+            # instance-major gradient slab: (chunk, 16) rows per chunk
+            pl.BlockSpec((chunk, PACK_ROWS), gout_map_rev,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -636,18 +644,19 @@ def _build_rasterizer(
         return x
 
     def grid_arg(binning):
-        # interpret (CPU) mode can't consume a traced grid size; fall back
-        # to the full static grid there (tail chunks are no-ops anyway)
-        if interpret:
-            return jnp.full((1,), total_chunks, jnp.int32), total_chunks
-        nu = binning.n_used_chunks.reshape(1)
-        return nu, nu[0]
+        # NOTE: static grid on purpose — a dynamic (traced) Mosaic grid
+        # bound measured ~2.6× slower per step (it defeats DMA
+        # double-buffering), wiping out the saved tail steps.  The pad tail
+        # is minimized by sizing instance_cap adaptively instead (see
+        # suggest_instance_cap / the training loop's overflow growth).
+        return jnp.full((1,), total_chunks, jnp.int32), total_chunks
 
     def run_forward(mean2d, depth, conic, radius, validf, colors, opacities):
         sg = jax.lax.stop_gradient
         binning = bin_gaussians(
             sg(mean2d), sg(depth), sg(radius), sg(validf) > 0.5,
             width, height, instance_cap, chunk,
+            opacities=sg(opacities),
         )
         packed = pack_instances(binning, mean2d, conic, colors, opacities)
         nu, gsize = grid_arg(binning)
@@ -684,33 +693,30 @@ def _build_rasterizer(
         (chunk_group, work, nu, dest_exp, rank_offsets, order, packed,
          logt) = res
         g_rgb, g_logt = cotangents
-        gsize = total_chunks if interpret else nu[0]
-        _, bwd_grid_spec = build_grid_specs(chunk, total_chunks, gsize)
+        _, bwd_grid_spec = build_grid_specs(chunk, total_chunks, total_chunks)
         gpacked = pl.pallas_call(
             bwd_kernel,
             grid_spec=bwd_grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((PACK_ROWS, padded_cap), jnp.float32)],
+            out_shape=[jax.ShapeDtypeStruct((padded_cap, PACK_ROWS), jnp.float32)],
             interpret=interpret,
         )(chunk_group, work, nu, packed, retile(g_rgb), retile(g_logt), logt)[0]
 
         # per-instance grads → per-Gaussian grads without any scatter-add:
-        # gather to expansion order (contiguous per depth rank), one Pallas
-        # prefix scan, two gathers (ops/segscan.py), then un-rank.  The XLA
-        # transpose is one linear pass (Mosaic can't DMA 16-lane slices, so
-        # the kernel writes attribute-major); the barrier stops XLA from
-        # fusing it into the gather as strided per-row reads.
-        # only the first 9 attribute rows carry gradients — slicing before
-        # the transpose/gather nearly halves their HBM traffic
-        gpacked_t = jax.lax.optimization_barrier(gpacked[:9].T)
+        # the kernel already wrote the slab instance-major, so this is one
+        # permutation gather to expansion order (contiguous per depth rank),
+        # one Pallas prefix scan, two boundary gathers (ops/segscan.py),
+        # then un-rank.  Dead expansion slots carry the sentinel index
+        # padded_cap → mode="fill" zeros them, which the scan's n_live
+        # skipping relies on.
         g_exp = jnp.take(
-            gpacked_t, dest_exp, axis=0, mode="fill", fill_value=0.0
+            gpacked, dest_exp, axis=0, mode="fill", fill_value=0.0
         )
         sums_rank = segment_sums_from_ranges(
             g_exp, rank_offsets[:-1], rank_offsets[1:], interpret,
-            n_live=rank_offsets[-1],
-        )  # [n, 9], depth-rank order
+            n_live=rank_offsets[-1], adjacent=True,
+        )  # [n, 16], depth-rank order
         gsum = (
-            jnp.zeros((n, 9), jnp.float32)
+            jnp.zeros((n, PACK_ROWS), jnp.float32)
             .at[order]
             .set(sums_rank, mode="drop")
         )

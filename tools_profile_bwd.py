@@ -34,7 +34,7 @@ scales = jnp.asarray(np.exp(rng.uniform(np.log(0.005), np.log(0.03), (N, 1)))
 rots = jnp.asarray(rng.normal(size=(N, 4)), jnp.float32)
 opac = jnp.asarray(rng.uniform(0.3, 0.9, N), jnp.float32)
 colors = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
-icap = -(-8 * N // 1024) * 1024
+icap = int(os.environ.get("ICAP", 385024))
 interp = jax.default_backend() != "tpu"
 
 tiles_x, tiles_y = tile_grid(W, H)
@@ -61,8 +61,8 @@ b, packed = residuals(means, scales, rots, opac, colors)
 
 @jax.jit
 def run_fwd_kernel(ct, live, nu, packed, eps):
-    fwd_grid_spec, _ = rt.build_grid_specs(
-        CHUNK, total_chunks, total_chunks if interp else nu[0])
+    fwd_grid_spec, _ = rt.build_grid_specs(CHUNK, total_chunks,
+                                           total_chunks)
     rgb, logt, work = pl.pallas_call(
         fwd_kernel, grid_spec=fwd_grid_spec,
         out_shape=[jax.ShapeDtypeStruct((3, n_groups * rt.GROUP, rt._Q),
@@ -75,7 +75,7 @@ def run_fwd_kernel(ct, live, nu, packed, eps):
     return rgb, logt, work
 
 
-nu = b.n_used_chunks.reshape(1)
+nu = jnp.full((1,), total_chunks, jnp.int32)
 rgb, logt, work = run_fwd_kernel(b.chunk_group, b.chunk_live, nu, packed,
                                  jnp.float32(0.0))
 g_rgb = rgb * 2.0
@@ -84,11 +84,11 @@ g_logt = logt * 0.1
 
 @jax.jit
 def run_bwd_kernel(ct, work, nu, packed, g_rgb, g_logt, logt, eps):
-    _, bwd_grid_spec = rt.build_grid_specs(
-        CHUNK, total_chunks, total_chunks if interp else nu[0])
+    _, bwd_grid_spec = rt.build_grid_specs(CHUNK, total_chunks,
+                                           total_chunks)
     gpacked = pl.pallas_call(
         bwd_kernel, grid_spec=bwd_grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((PACK_ROWS, padded_cap), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((padded_cap, PACK_ROWS), jnp.float32)],
         interpret=interp,
     )(ct, work, nu, packed + eps, g_rgb, g_logt, logt)[0]
     return gpacked
@@ -100,14 +100,15 @@ gpacked = run_bwd_kernel(b.chunk_group, work, nu, packed, g_rgb, g_logt, logt,
 
 @jax.jit
 def run_reduce(gpacked, dest_exp, rank_offsets, order, eps):
-    gpacked_t = jax.lax.optimization_barrier((gpacked + eps)[:9].T)
-    g_exp = jnp.take(gpacked_t, dest_exp, axis=0, mode="fill", fill_value=0.0)
+    g_exp = jnp.take(gpacked + eps, dest_exp, axis=0, mode="fill",
+                     fill_value=0.0)
     sums_rank = segment_sums_from_ranges(
         g_exp, rank_offsets[:-1], rank_offsets[1:], interp,
-        n_live=rank_offsets[-1],
+        n_live=rank_offsets[-1], adjacent=True,
     )
-    gsum = jnp.zeros((N, 9), jnp.float32).at[order].set(sums_rank, mode="drop")
-    return gsum
+    gsum = jnp.zeros((N, PACK_ROWS), jnp.float32).at[order].set(
+        sums_rank, mode="drop")
+    return gsum.sum()
 
 
 def timed(name, fn, *args):
