@@ -8,7 +8,13 @@
 
 from event3dgs_tpu.ops.projection import ProjectedGaussians, project_gaussians
 from event3dgs_tpu.ops.rasterize_reference import rasterize_reference
-from event3dgs_tpu.ops.render import render, render_depth, RenderOutput
+from event3dgs_tpu.ops.render import (
+    render,
+    render_depth,
+    render_partials,
+    RenderOutput,
+    RenderPartials,
+)
 
 __all__ = [
     "ProjectedGaussians",
@@ -16,5 +22,7 @@ __all__ = [
     "rasterize_reference",
     "render",
     "render_depth",
+    "render_partials",
     "RenderOutput",
+    "RenderPartials",
 ]

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from event3dgs_tpu.ops.pallas_util import out_struct, vma_index_map, vma_of
+
 BLOCK = 1024  # instances per grid step (8 sublane rows × 128 lanes)
 WIN = 1024  # candidate window granularity: two adjacent (16, WIN) windows
 # cover any block's rank span (≤ BLOCK ranks, ≤ WIN alignment slack) and are
@@ -145,12 +147,15 @@ def _expand_kernel_factory(tiles_x: int, num_tiles: int, n: int,
 
 @lru_cache(maxsize=32)
 def _build_expand(n_blocks: int, tiles_x: int, num_tiles: int, n: int,
-                  n_pad: int, tile_w: int, tile_h: int, interpret: bool):
+                  n_pad: int, tile_w: int, tile_h: int, interpret: bool,
+                  vma: frozenset = frozenset()):
     kernel = _expand_kernel_factory(tiles_x, num_tiles, n, tile_w, tile_h)
 
+    @vma_index_map
     def win_map_a(i, klo, total):
         return (0, klo[i] // WIN)
 
+    @vma_index_map
     def win_map_b(i, klo, total):
         return (0, klo[i] // WIN + 1)
 
@@ -166,15 +171,15 @@ def _build_expand(n_blocks: int, tiles_x: int, num_tiles: int, n: int,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
+                pl.BlockSpec((8, 128), vma_index_map(lambda i, *_: (i, 0)),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
+                pl.BlockSpec((8, 128), vma_index_map(lambda i, *_: (i, 0)),
                              memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks * 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks * 8, 128), jnp.float32),
+            out_struct((n_blocks * 8, 128), jnp.float32, vma),
+            out_struct((n_blocks * 8, 128), jnp.float32, vma),
         ],
         interpret=interpret,
     )
@@ -245,7 +250,7 @@ def expand_instances(
     total = jnp.minimum(offsets[-1], instance_cap).astype(jnp.int32)
 
     fn = _build_expand(n_blocks, tiles_x, num_tiles, n, n_pad, tile_w,
-                       tile_h, interpret)
+                       tile_h, interpret, vma_of(attrs))
     tile_f, g_f = fn(k_lo, total[None], attrs, attrs)
     return (
         tile_f.reshape(-1).astype(jnp.int32),

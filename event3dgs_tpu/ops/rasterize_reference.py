@@ -54,6 +54,40 @@ def rasterize_reference(
     Returns:
         [height, width, 3] image.
     """
+    rgb, t = _composite_all(proj, colors, opacities, width, height, chunk)
+    rgb = rgb + t[:, None] * background[None, :]
+    return rgb.reshape(height, width, 3)
+
+
+def rasterize_reference_partials(
+    proj: ProjectedGaussians,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    width: int,
+    height: int,
+    chunk: int = 256,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pre-background compositing partials: ([H, W, 3] rgb, [H, W] log T).
+
+    For Gaussian-sharded rendering (``parallel/``): each shard composites
+    only its own Gaussians; depth-ordered shards then merge exactly with
+    ``rgb = Σ_k exp(Σ_{j<k} logT_j) · rgb_k`` and ``logT = Σ_k logT_k``
+    (the over-operator is associative given the (rgb, log T) carry).
+    """
+    rgb, t = _composite_all(proj, colors, opacities, width, height, chunk)
+    logt = jnp.log(jnp.maximum(t, 1e-30))
+    return rgb.reshape(height, width, 3), logt.reshape(height, width)
+
+
+def _composite_all(
+    proj: ProjectedGaussians,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    width: int,
+    height: int,
+    chunk: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Depth-sort + composite: ([P, 3] rgb, [P] transmittance), P = H·W."""
     n = proj.mean2d.shape[0]
     n_pad = (-n) % chunk
     total = n + n_pad
@@ -127,5 +161,4 @@ def rasterize_reference(
         radius.reshape(total // chunk, chunk),
     )
     (rgb, T), _ = jax.lax.scan(composite_chunk, init, xs)
-    rgb = rgb + T[:, None] * background[None, :]
-    return rgb.reshape(height, width, 3)
+    return rgb, T

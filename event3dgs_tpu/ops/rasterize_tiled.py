@@ -63,6 +63,9 @@ from event3dgs_tpu.ops.binning import (
     pack_instances,
     tile_grid,
 )
+from event3dgs_tpu.ops.pallas_util import (
+    out_struct, revary, strip_vma, unify_vma, vma_index_map, vma_of,
+)
 from event3dgs_tpu.ops.projection import ProjectedGaussians
 from event3dgs_tpu.ops.segscan import segment_sums_from_ranges
 
@@ -530,21 +533,27 @@ def build_grid_specs(chunk: int, total_chunks: int, grid_size=None):
     if grid_size is None:
         grid_size = total_chunks
 
+    @vma_index_map
     def chunk_map(k, cg, aux, nu):
         return (0, k)
 
+    @vma_index_map
     def rgb_map_fwd(k, cg, aux, nu):
         return (0, cg[k], 0)
 
+    @vma_index_map
     def pix_map_fwd(k, cg, aux, nu):
         return (cg[k], 0)
 
+    @vma_index_map
     def chunk_map_rev(k, cg, aux, nu):
         return (0, nu[0] - 1 - k)
 
+    @vma_index_map
     def rgb_map_bwd(k, cg, aux, nu):
         return (0, cg[nu[0] - 1 - k], 0)
 
+    @vma_index_map
     def pix_map_bwd(k, cg, aux, nu):
         return (cg[nu[0] - 1 - k], 0)
 
@@ -569,6 +578,7 @@ def build_grid_specs(chunk: int, total_chunks: int, grid_size=None):
         ],
     )
 
+    @vma_index_map
     def gout_map_rev(k, cg, aux, nu):
         return (nu[0] - 1 - k, 0)
 
@@ -652,6 +662,16 @@ def _build_rasterizer(
         return jnp.full((1,), total_chunks, jnp.int32), total_chunks
 
     def run_forward(mean2d, depth, conic, radius, validf, colors, opacities):
+        if interpret:
+            # interpret mode cannot replay kernels against vma-annotated
+            # operands (see pallas_util.strip_vma); safe here because the
+            # custom_vjp boundary hides this region from AD, and the public
+            # outputs are re-varied before they leave the vjp.
+            (mean2d, depth, conic, radius, validf, colors, opacities) = (
+                strip_vma(
+                    mean2d, depth, conic, radius, validf, colors, opacities
+                )
+            )
         sg = jax.lax.stop_gradient
         binning = bin_gaussians(
             sg(mean2d), sg(depth), sg(radius), sg(validf) > 0.5,
@@ -661,13 +681,14 @@ def _build_rasterizer(
         packed = pack_instances(binning, mean2d, conic, colors, opacities)
         nu, gsize = grid_arg(binning)
         fwd_grid_spec, _ = build_grid_specs(chunk, total_chunks, gsize)
+        vma = vma_of(packed)
         rgb, logt, work = pl.pallas_call(
             fwd_kernel,
             grid_spec=fwd_grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((3, n_groups * GROUP, _Q), jnp.float32),
-                jax.ShapeDtypeStruct((n_groups * GROUP, _Q), jnp.float32),
-                jax.ShapeDtypeStruct((total_chunks,), jnp.int32),
+                out_struct((3, n_groups * GROUP, _Q), jnp.float32, vma),
+                out_struct((n_groups * GROUP, _Q), jnp.float32, vma),
+                out_struct((total_chunks,), jnp.int32, vma),
             ],
             interpret=interpret,
         )(binning.chunk_group, binning.chunk_live, nu, packed)
@@ -675,16 +696,18 @@ def _build_rasterizer(
 
     @jax.custom_vjp
     def rasterize(mean2d, depth, conic, radius, validf, colors, opacities):
+        vma = vma_of(mean2d)
         rgb, logt, _, _, _, _ = run_forward(
             mean2d, depth, conic, radius, validf, colors, opacities
         )
-        return untile(rgb), untile(logt)
+        return revary(untile(rgb), vma), revary(untile(logt), vma)
 
     def rasterize_fwd(mean2d, depth, conic, radius, validf, colors, opacities):
+        vma = vma_of(mean2d)
         rgb, logt, work, binning, packed, nu = run_forward(
             mean2d, depth, conic, radius, validf, colors, opacities
         )
-        return (untile(rgb), untile(logt)), (
+        return (revary(untile(rgb), vma), revary(untile(logt), vma)), (
             binning.chunk_group, work, nu, binning.dest_exp,
             binning.rank_offsets, binning.order, packed, logt,
         )
@@ -693,11 +716,17 @@ def _build_rasterizer(
         (chunk_group, work, nu, dest_exp, rank_offsets, order, packed,
          logt) = res
         g_rgb, g_logt = cotangents
+        vma = vma_of(g_rgb)
+        if interpret:
+            g_rgb, g_logt = strip_vma(g_rgb, g_logt)
         _, bwd_grid_spec = build_grid_specs(chunk, total_chunks, total_chunks)
         gpacked = pl.pallas_call(
             bwd_kernel,
             grid_spec=bwd_grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((padded_cap, PACK_ROWS), jnp.float32)],
+            out_shape=[
+                out_struct((padded_cap, PACK_ROWS), jnp.float32,
+                           vma_of(packed)),
+            ],
             interpret=interpret,
         )(chunk_group, work, nu, packed, retile(g_rgb), retile(g_logt), logt)[0]
 
@@ -720,15 +749,18 @@ def _build_rasterizer(
             .at[order]
             .set(sums_rank, mode="drop")
         )
-        zeros_n = jnp.zeros((n,), jnp.float32)
+        # every cotangent must carry the primal inputs' varying-axes set
+        # (shard_map check_vma rejects a vma mismatch in custom_vjp outputs)
+        zeros_n = revary(jnp.zeros((n,), jnp.float32), vma)
+        rv = lambda x: revary(x, vma)
         return (
-            gsum[:, 0:2],  # mean2d
+            rv(gsum[:, 0:2]),  # mean2d
             zeros_n,  # depth (ordering only — no gradient, as in CUDA)
-            gsum[:, 2:5],  # conic
+            rv(gsum[:, 2:5]),  # conic
             zeros_n,  # radius
             zeros_n,  # validf
-            gsum[:, 6:9],  # colors
-            gsum[:, 5],  # opacities
+            rv(gsum[:, 6:9]),  # colors
+            rv(gsum[:, 5]),  # opacities
         )
 
     rasterize.defvjp(rasterize_fwd, rasterize_bwd)
@@ -752,6 +784,30 @@ def rasterize_tiled(
     colors and opacities (and hence, through `project_gaussians`, the raw
     Gaussian parameters).
     """
+    rgb, logt = rasterize_tiled_partials(
+        proj, colors, opacities, width, height,
+        instance_cap=instance_cap, chunk=chunk, interpret=interpret,
+    )
+    return rgb + jnp.exp(logt)[:, :, None] * background[None, None, :]
+
+
+def rasterize_tiled_partials(
+    proj: ProjectedGaussians,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    width: int,
+    height: int,
+    instance_cap: int | None = None,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pre-background partials: ([H, W, 3] rgb, [H, W] log-transmittance).
+
+    The building block for Gaussian-sharded compositing (``parallel/``):
+    the kernel's log-space transmittance carry makes the over-operator merge
+    of depth-ordered shards exact — ``rgb = Σ_k exp(Σ_{j<k} logT_j)·rgb_k``,
+    ``logT = Σ_k logT_k`` (see ``parallel.compose.merge_depth_partials``).
+    """
     n = proj.mean2d.shape[0]
     if instance_cap is None:
         instance_cap = max(8 * n, 1 << 14)
@@ -762,14 +818,15 @@ def rasterize_tiled(
         interpret = _interpret_default()
     fn = _build_rasterizer(n, width, height, int(instance_cap), chunk, interpret)
     rgb_p, logt_p = fn(
-        proj.mean2d,
-        proj.depth,
-        proj.conic,
-        proj.radius,
-        proj.valid.astype(jnp.float32),
-        colors,
-        opacities,
+        *unify_vma(
+            proj.mean2d,
+            proj.depth,
+            proj.conic,
+            proj.radius,
+            proj.valid.astype(jnp.float32),
+            colors,
+            opacities,
+        )
     )
     rgb = jnp.transpose(rgb_p, (1, 2, 0))[:height, :width, :]
-    t_final = jnp.exp(logt_p)[:height, :width]
-    return rgb + t_final[:, :, None] * background[None, None, :]
+    return rgb, logt_p[:height, :width]

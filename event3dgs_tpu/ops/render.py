@@ -36,6 +36,15 @@ class RenderOutput(NamedTuple):
     visibility: jnp.ndarray  # [N] bool, radius > 0
 
 
+class RenderPartials(NamedTuple):
+    """Pre-background compositing partials for Gaussian-sharded rendering."""
+
+    rgb: jnp.ndarray  # [H, W, 3] accumulated color (no background)
+    logt: jnp.ndarray  # [H, W] log final transmittance
+    radii: jnp.ndarray  # [N] pixel radii (0 for culled)
+    visibility: jnp.ndarray  # [N] bool, radius > 0
+
+
 def gaussian_colors(
     sh_degree: int,
     features: jnp.ndarray,
@@ -62,7 +71,10 @@ def gaussian_colors(
 
 
 @partial(
-    jax.jit, static_argnames=("sh_degree", "scaling_modifier", "rasterizer")
+    jax.jit,
+    static_argnames=(
+        "sh_degree", "scaling_modifier", "rasterizer", "instance_cap"
+    ),
 )
 def render(
     means3d: jnp.ndarray,
@@ -77,6 +89,7 @@ def render(
     mean2d_tap: jnp.ndarray | None = None,
     override_colors: jnp.ndarray | None = None,
     rasterizer: str = "reference",
+    instance_cap: int | None = None,
 ) -> RenderOutput:
     """Render one view with the reference-path rasterizer.
 
@@ -96,7 +109,55 @@ def render(
             (the reference's `override_color`, used by depth rendering).
         rasterizer: "reference" (slow jnp oracle) or "tiled" (Pallas
             production path).
+        instance_cap: static (tile, gaussian) instance budget for the tiled
+            rasterizer; None picks a heuristic.  The training loop grows it
+            (re-jit) when `ops.binning.count_instances` outgrows the cap.
     """
+    rgb, logt, proj = _render_partials_impl(
+        means3d, features, opacities, scales, rotations, camera,
+        sh_degree, scaling_modifier, mean2d_tap, override_colors,
+        rasterizer, instance_cap,
+    )
+    image = rgb + jnp.exp(logt)[:, :, None] * background[None, None, :]
+    return RenderOutput(image=image, radii=proj.radius, visibility=proj.valid)
+
+
+def render_partials(
+    means3d: jnp.ndarray,
+    features: jnp.ndarray,
+    opacities: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    camera: Camera,
+    sh_degree: int = 0,
+    scaling_modifier: float = 1.0,
+    mean2d_tap: jnp.ndarray | None = None,
+    override_colors: jnp.ndarray | None = None,
+    rasterizer: str = "tiled",
+    instance_cap: int | None = None,
+) -> RenderPartials:
+    """Render one view into pre-background (rgb, log T) partials.
+
+    The Gaussian-sharded path (``parallel/sharded_train.py``): each shard
+    renders only its own Gaussians with this function, then shards merge in
+    depth order via ``parallel.compose.merge_depth_partials``.  Not jitted
+    here — it is called inside the shard_map'd train step.
+    """
+    rgb, logt, proj = _render_partials_impl(
+        means3d, features, opacities, scales, rotations, camera,
+        sh_degree, scaling_modifier, mean2d_tap, override_colors,
+        rasterizer, instance_cap,
+    )
+    return RenderPartials(
+        rgb=rgb, logt=logt, radii=proj.radius, visibility=proj.valid
+    )
+
+
+def _render_partials_impl(
+    means3d, features, opacities, scales, rotations, camera,
+    sh_degree, scaling_modifier, mean2d_tap, override_colors,
+    rasterizer, instance_cap,
+):
     proj = project_gaussians(
         means3d,
         scales,
@@ -112,16 +173,21 @@ def render(
     else:
         colors = override_colors
     if rasterizer == "tiled":
-        from event3dgs_tpu.ops.rasterize_tiled import rasterize_tiled
+        from event3dgs_tpu.ops.rasterize_tiled import rasterize_tiled_partials
 
-        image = rasterize_tiled(
-            proj, colors, opacities, background, camera.width, camera.height
+        rgb, logt = rasterize_tiled_partials(
+            proj, colors, opacities, camera.width, camera.height,
+            instance_cap=instance_cap,
         )
     else:
-        image = rasterize_reference(
-            proj, colors, opacities, background, camera.width, camera.height
+        from event3dgs_tpu.ops.rasterize_reference import (
+            rasterize_reference_partials,
         )
-    return RenderOutput(image=image, radii=proj.radius, visibility=proj.valid)
+
+        rgb, logt = rasterize_reference_partials(
+            proj, colors, opacities, camera.width, camera.height
+        )
+    return rgb, logt, proj
 
 
 def render_depth(

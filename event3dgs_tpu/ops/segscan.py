@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from event3dgs_tpu.ops.pallas_util import out_struct, vma_index_map, vma_of
+
 BLOCK_ROWS = 4096  # rows per grid step (4 sub-blocks of 1024)
 SUB = 1024  # triangular-matmul granularity: big enough to amortize per-dot
 # overhead (128-row sub-blocks measured ~3 µs each — MXU-issue bound)
@@ -78,7 +80,8 @@ def _scan_kernel(live_ref, x_ref, out_ref, tot_ref, carry):
 
 
 @lru_cache(maxsize=32)
-def _build_scan(n_rows: int, width: int, interpret: bool, grid_size: int):
+def _build_scan(n_rows: int, width: int, interpret: bool, grid_size: int,
+                vma: frozenset = frozenset()):
     assert n_rows % BLOCK_ROWS == 0
     return pl.pallas_call(
         _scan_kernel,
@@ -87,24 +90,24 @@ def _build_scan(n_rows: int, width: int, interpret: bool, grid_size: int):
             grid=(grid_size,),
             in_specs=[
                 pl.BlockSpec(
-                    (BLOCK_ROWS, width), lambda i, *_: (i, 0),
+                    (BLOCK_ROWS, width), vma_index_map(lambda i, *_: (i, 0)),
                     memory_space=pltpu.VMEM,
                 )
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (BLOCK_ROWS, width), lambda i, *_: (i, 0),
+                    (BLOCK_ROWS, width), vma_index_map(lambda i, *_: (i, 0)),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (8, width), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                    (8, width), vma_index_map(lambda i, *_: (0, 0)), memory_space=pltpu.VMEM
                 ),
             ],
             scratch_shapes=[pltpu.VMEM((8, width), jnp.float32)],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_rows, width), jnp.float32),
-            jax.ShapeDtypeStruct((8, width), jnp.float32),
+            out_struct((n_rows, width), jnp.float32, vma),
+            out_struct((8, width), jnp.float32, vma),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -133,7 +136,9 @@ def exclusive_prefix_rows(
     # NOTE: static grid on purpose — a dynamic (traced) Mosaic grid size
     # measured 4-10× slower *per step* (it defeats the pipeline emitter's
     # DMA double-buffering); dead blocks are skipped via live_ref instead.
-    e, tot = _build_scan(rows + pad, width, interpret, (rows + pad) // BLOCK_ROWS)(live, x)
+    e, tot = _build_scan(
+        rows + pad, width, interpret, (rows + pad) // BLOCK_ROWS, vma_of(x)
+    )(live, x)
     return e[:rows], tot[0]
 
 

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from event3dgs_tpu.ops.pallas_util import out_struct, vma_index_map, vma_of
+
 SORT_CHUNK = 128  # ids per row (K); a block is (8, K) = 1024 ids
 BLOCK_ROWS = 8
 F32_EXACT = 1 << 24  # max integer exactly representable in f32
@@ -127,7 +129,8 @@ def _rank_kernel_factory(n_bins: int, k: int, n_buckets: int):
 
 
 @lru_cache(maxsize=32)
-def _build_sort(n_ids: int, n_bins: int, n_buckets: int, interpret: bool):
+def _build_sort(n_ids: int, n_bins: int, n_buckets: int, interpret: bool,
+                vma: frozenset = frozenset()):
     k = SORT_CHUNK
     block = BLOCK_ROWS * k
     assert n_ids % block == 0
@@ -140,16 +143,16 @@ def _build_sort(n_ids: int, n_bins: int, n_buckets: int, interpret: bool):
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(
-                    (BLOCK_ROWS, k), lambda i, *_: (i, 0),
+                    (BLOCK_ROWS, k), vma_index_map(lambda i, *_: (i, 0)),
                     memory_space=pltpu.VMEM,
                 )
             ],
             out_specs=pl.BlockSpec(
-                (1, n_bins), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                (1, n_bins), vma_index_map(lambda i, *_: (0, 0)), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[pltpu.VMEM((1, n_bins), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((1, n_bins), jnp.float32),
+        out_shape=out_struct((1, n_bins), jnp.float32, vma),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
@@ -163,23 +166,21 @@ def _build_sort(n_ids: int, n_bins: int, n_buckets: int, interpret: bool):
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(
-                    (BLOCK_ROWS, k), lambda i, *_: (i, 0),
+                    (BLOCK_ROWS, k), vma_index_map(lambda i, *_: (i, 0)),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, n_bins), lambda i, *_: (0, 0),
+                    (1, n_bins), vma_index_map(lambda i, *_: (0, 0)),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (BLOCK_ROWS, k), lambda i, *_: (i, 0),
+                (BLOCK_ROWS, k), vma_index_map(lambda i, *_: (i, 0)),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[pltpu.VMEM((1, n_bins), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_chunks * BLOCK_ROWS, k), jnp.float32
-        ),
+        out_shape=out_struct((n_chunks * BLOCK_ROWS, k), jnp.float32, vma),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
@@ -216,7 +217,8 @@ def counting_sort_buckets(
     n_bins = -(-(n_buckets + 1) // 128) * 128  # +1 sentinel bin, lane-padded
     if i + n_pad >= F32_EXACT or n_bins >= F32_EXACT:
         raise ValueError("counting sort exceeds f32-exact integer range")
-    hist, rank = _build_sort(i + n_pad, n_bins, n_buckets, interpret)
+    hist, rank = _build_sort(i + n_pad, n_bins, n_buckets, interpret,
+                             vma_of(ids))
 
     if n_live is None:
         n_live = jnp.asarray(i, jnp.int32)

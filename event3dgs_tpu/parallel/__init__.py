@@ -6,17 +6,24 @@ TPU-native design:
 - mesh axes ``("data", "gauss")``: views/event-pairs shard over ``data``,
   Gaussian storage (parameters + optimizer state + densify stats) shards
   over ``gauss``;
-- rendering all-gathers the (much smaller) *projected* per-Gaussian
-  attributes, not the raw parameters, and the compiler turns the gather's
-  transpose into the gradient reduce-scatter;
-- gradients across the ``data`` axis are psum'd by GSPMD from the sharding
-  annotations — no hand-written collectives in the train step.
+- the train step runs under ``shard_map``: each gauss shard rasterizes only
+  its own Gaussians into (rgb, log T) partials with the tiled Pallas
+  rasterizer, shards merge in depth order (``compose``), and gradients
+  psum across ``data`` — per-device memory is O(N/shards), never O(N);
+- ``partition`` keeps the shard assignment depth-ordered (refreshed at
+  densification time) so the cross-shard merge is exact;
+- ``distributed`` bootstraps multi-host meshes via
+  ``jax.distributed.initialize``.
 """
 
+from event3dgs_tpu.parallel.compose import merge_depth_partials
 from event3dgs_tpu.parallel.mesh import make_mesh, data_sharding, gauss_sharding
+from event3dgs_tpu.parallel.partition import repartition_by_depth
 from event3dgs_tpu.parallel.sharded_train import (
     make_sharded_train_step,
     shard_train_state,
+    state_partition_specs,
+    unshard_state,
 )
 
 __all__ = [
@@ -24,5 +31,9 @@ __all__ = [
     "data_sharding",
     "gauss_sharding",
     "make_sharded_train_step",
+    "merge_depth_partials",
+    "repartition_by_depth",
     "shard_train_state",
+    "state_partition_specs",
+    "unshard_state",
 ]

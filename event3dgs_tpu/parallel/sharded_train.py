@@ -1,17 +1,38 @@
-"""Sharded multi-view train step: dp over views × gauss-sharded parameters.
+"""Sharded multi-view train step: shard_map over a (data × gauss) mesh.
 
-The reference trains one view per iteration on one GPU (`train.py:137-144`).
-The TPU-native step batches ``B`` views per iteration (``B`` = size of the
-``data`` mesh axis), shards the view batch over ``data`` and the Gaussian
-storage over ``gauss``, and lets GSPMD insert the collectives:
+The reference trains one view per iteration on one GPU
+(`/root/reference/train.py:137-144`).  The TPU-native step batches ``B``
+views per iteration and runs under ``jax.shard_map`` on a
+``("data", "gauss")`` mesh:
 
-- parameters are all-gathered across ``gauss`` for rendering (the gather's
-  transpose becomes the gradient reduce-scatter back to the owner shard);
-- per-view losses/grads are psum'd across ``data``;
-- the Adam update runs shard-local on each device's parameter slice.
+- **data axis**: the view batch shards one view-group per rank; per-view
+  losses and parameter gradients are explicitly psum'd across ``data``.
+- **gauss axis**: Gaussian storage (params, Adam moments, densify stats)
+  shards its capacity dimension.  Each shard projects, bins and rasterizes
+  *only its own* Gaussians into (rgb, log T) partials with the production
+  tiled Pallas rasterizer — which therefore sees ordinary local shapes, no
+  GSPMD partitioning of the kernel — and shards merge in depth order via
+  ``parallel.compose.merge_depth_partials``.  Per-device memory is
+  O(N/K), never O(N): nothing ever all-gathers the parameter set.
 
-Event mode renders 3 views per element (main + consecutive pair), so one
-batched step covers 3·B rasterizations.
+Why shard_map and not GSPMD sharding annotations: the rasterizer is a
+Pallas kernel with scalar-prefetch grids; under shard_map it runs unchanged
+per device, and the only collectives are the two image-sized merges (an
+all-gather of [H, W] logT maps and a psum of [H, W, 3] weighted partials)
+plus the gradient psums over ``data`` — all explicit, all on ICI.
+
+Gradient correctness across the merge (own shard's logT enters *other*
+shards' transmittance prefixes) is delegated to JAX AD through the
+collectives and pinned by the sharded-vs-single-device parity tests in
+``tests/test_parallel.py``.
+
+Densification stats under batching: the reference accumulates one view's
+screen-gradient norm per iteration (`/root/reference/train.py:317-320`).
+With ``B`` views per step this accumulates **per view** — ``Σ_v ‖g_v‖`` into
+``grad_accum`` and ``Σ_v vis_v`` into ``denom`` — so ``grad_accum/denom``
+keeps the reference's per-view-average semantics and the densify threshold
+(2e-4) transfers unchanged.  Per-view gradients are rescaled by ``B`` to
+undo the batch-mean normalization of the loss.
 """
 
 from __future__ import annotations
@@ -28,14 +49,15 @@ from event3dgs_tpu.losses.modes import (
     gray_total_loss,
     rgb_total_loss,
 )
-from event3dgs_tpu.models.densify import update_stats
+from event3dgs_tpu.models.densify import DensifyStats
 from event3dgs_tpu.models.gaussians import (
     activated,
     trainable_dict,
     with_trainable,
 )
 from event3dgs_tpu.models.optimizer import adam_update
-from event3dgs_tpu.ops import render
+from event3dgs_tpu.ops.render import render_partials
+from event3dgs_tpu.parallel.compose import merge_depth_partials
 from event3dgs_tpu.parallel.mesh import DATA_AXIS, GAUSS_AXIS
 from event3dgs_tpu.train.state import (
     SceneData,
@@ -47,21 +69,48 @@ from event3dgs_tpu.train.step import _lr_tree
 from event3dgs_tpu.utils.config import EventConfig, OptimizationConfig
 
 
+def _is_capacity_leaf(leaf, gauss_size: int) -> bool:
+    return (
+        hasattr(leaf, "ndim")
+        and leaf.ndim >= 1
+        and leaf.shape[0] >= gauss_size
+        and leaf.shape[0] % gauss_size == 0
+    )
+
+
+def state_partition_specs(state: TrainState, mesh: Mesh):
+    """Per-leaf PartitionSpec tree: capacity dims over ``gauss``, rest
+    replicated."""
+    gauss = mesh.shape[GAUSS_AXIS]
+    return jax.tree.map(
+        lambda leaf: P(GAUSS_AXIS) if _is_capacity_leaf(leaf, gauss) else P(),
+        state,
+    )
+
+
 def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place the train state with Gaussian storage sharded over ``gauss``.
 
     Every per-Gaussian leaf (params, Adam moments, densify stats) shards its
     capacity dimension; scalars replicate.
     """
-    gauss = NamedSharding(mesh, P(GAUSS_AXIS))
-    rep = NamedSharding(mesh, P())
+    specs = state_partition_specs(state, mesh)
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        state,
+        specs,
+    )
 
-    def place(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] >= mesh.shape[GAUSS_AXIS]:
-            return jax.device_put(leaf, gauss)
-        return jax.device_put(leaf, rep)
 
-    return jax.tree.map(place, state)
+def unshard_state(state: TrainState) -> TrainState:
+    """Pull a (possibly sharded) train state into host-backed arrays.
+
+    Used at densification boundaries: densify/prune runs globally (exact
+    reference semantics) and the result is depth-repartitioned
+    (``parallel.partition``) before re-placing with
+    :func:`shard_train_state`.
+    """
+    return jax.tree.map(jnp.asarray, jax.device_get(state))
 
 
 def make_sharded_train_step(
@@ -71,74 +120,71 @@ def make_sharded_train_step(
     mesh: Mesh,
     max_sh_degree: int = 3,
     spatial_lr_scale: float = 1.0,
-    rasterizer: str = "reference",
+    rasterizer: str = "tiled",
+    instance_cap: int | None = None,
 ) -> Callable:
     """Build the compiled batched/sharded train step.
 
     Signature: ``(state, data, idx_main [B], idx_now [B], idx_next [B], bg)
     → (state, metrics)`` with B a multiple of the ``data`` axis size.
+    The state must be depth-partitioned over ``gauss``
+    (``parallel.partition.repartition_by_depth``) for the cross-shard
+    compositing order to be exact.
     """
     lambda_dssim = (
         event_cfg.event_lambda_dssim if mode.startswith("event")
         else opt_cfg.lambda_dssim
     )
-    gauss_spec = NamedSharding(mesh, P(GAUSS_AXIS))
-    data_spec = NamedSharding(mesh, P(DATA_AXIS))
+    data_size = mesh.shape[DATA_AXIS]
+    gauss_size = mesh.shape[GAUSS_AXIS]
 
-    def pin_gauss(tree):
-        return jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, gauss_spec)
-            if hasattr(x, "ndim") and x.ndim >= 1
-            else x,
-            tree,
-        )
-
-    @jax.jit
-    def train_step(
-        state: TrainState,
-        data: SceneData,
-        idx_main: jnp.ndarray,  # [B]
-        idx_now: jnp.ndarray,  # [B]
-        idx_next: jnp.ndarray,  # [B]
-        bg: jnp.ndarray,
-    ):
+    def body(state, data, idx_main, idx_now, idx_next, bg):
+        # Local view: params/opt/stats are this rank's gauss shard
+        # [C/gauss, ...]; idx arrays are this rank's views [B_local].
         step = state.step + 1
         deg = active_sh_degree(step, max_sh_degree)
         cmask = sh_coeff_mask(deg, (max_sh_degree + 1) ** 2)
+        b_local = idx_main.shape[0]
+        b_global = b_local * data_size
+        cap_local = state.params.xyz.shape[0]
 
-        idx_main_s = jax.lax.with_sharding_constraint(idx_main, data_spec)
-
-        def render_view(act, features, cam, tap):
-            return render(
+        def render_p(act, features, cam, tap):
+            return render_partials(
                 act.means3d,
                 features,
                 act.opacities,
                 act.scales,
                 act.rotations,
                 cam,
-                bg,
                 sh_degree=max_sh_degree,
                 mean2d_tap=tap,
                 rasterizer=rasterizer,
+                instance_cap=instance_cap,
             )
 
-        def per_view_loss(act, features, contrast, tap, im, inow, inext):
+        def merge(p):
+            return merge_depth_partials(
+                p.rgb, p.logt, bg, GAUSS_AXIS, gauss_size
+            )
+
+        def view_loss(act, features, contrast, tap, im, inow, inext):
             cam_main = jax.tree.map(lambda x: x[im], data.cameras)
-            out_main = render_view(act, features, cam_main, tap)
+            pm = render_p(act, features, cam_main, tap)
+            img_main = merge(pm)
             gt_main = data.images[im]
             if mode == "rgb":
-                loss, aux = rgb_total_loss(out_main.image, gt_main, lambda_dssim)
+                loss, _ = rgb_total_loss(img_main, gt_main, lambda_dssim)
             elif mode == "gray":
-                loss, aux = gray_total_loss(out_main.image, gt_main, lambda_dssim)
+                loss, _ = gray_total_loss(img_main, gt_main, lambda_dssim)
             else:
                 cam_now = jax.tree.map(lambda x: x[inow], data.event_cameras)
                 cam_next = jax.tree.map(lambda x: x[inext], data.event_cameras)
-                out_now = render_view(act, features, cam_now, None)
-                out_next = render_view(act, features, cam_next, None)
-                loss, aux = event_total_loss(
-                    out_now.image,
-                    out_next.image,
-                    out_main.image,
+                img_now = merge(render_p(act, features, cam_now, None))
+                img_next = merge(render_p(act, features, cam_next, None))
+                loss, _ = event_total_loss(
+                    img_now,
+                    img_next,
+                    img_main,
                     data.event_images[inow],
                     data.event_images[inext],
                     gt_main,
@@ -147,33 +193,44 @@ def make_sharded_train_step(
                     event_weight=event_cfg.event_weight,
                 )
                 if mode == "event_deblur":
-                    loss, blur_aux = deblur_mix(
-                        loss, out_main.image, data.blurry_images[im],
+                    loss, _ = deblur_mix(
+                        loss, img_main, data.blurry_images[im],
                         event_cfg.blur_alpha,
                     )
-                    aux.update(blur_aux)
-            return loss, (out_main.radii, out_main.visibility)
+            return loss, (pm.radii, pm.visibility)
 
         def loss_fn(train_tree, contrast, taps):
-            params = with_trainable(state.params, pin_gauss(train_tree))
+            params = with_trainable(state.params, train_tree)
             act = activated(params)
             features = act.features * cmask[None, :, None]
-            losses, (radii, vis) = jax.vmap(
-                per_view_loss, in_axes=(None, None, None, 0, 0, 0, 0)
-            )(act, features, contrast, taps, idx_main_s, idx_now, idx_next)
-            return jnp.mean(losses), (radii, vis)
+            total = jnp.zeros(())
+            radii_l, vis_l = [], []
+            for v in range(b_local):  # static unroll over local views
+                lv, (radii, vis) = view_loss(
+                    act, features, contrast, taps[v],
+                    idx_main[v], idx_now[v], idx_next[v],
+                )
+                total = total + lv
+                radii_l.append(radii)
+                vis_l.append(vis)
+            return total / b_global, (jnp.stack(radii_l), jnp.stack(vis_l))
 
-        b = idx_main.shape[0]
-        taps = jnp.zeros((b, state.params.capacity, 2))
+        taps = jnp.zeros((b_local, cap_local, 2))
         train_tree = trainable_dict(state.params)
         (loss, (radii, vis)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(train_tree, state.contrast, taps)
         g_params, g_contrast, g_taps = grads
 
+        # cross-view-rank gradient reduction (loss already carries 1/B)
+        g_params = jax.tree.map(
+            lambda g: jax.lax.psum(g, DATA_AXIS), g_params
+        )
+        g_contrast = jax.lax.psum(g_contrast, DATA_AXIS)
+
         lrs = _lr_tree(opt_cfg, step, spatial_lr_scale)
         new_tree, new_opt = adam_update(
-            pin_gauss(train_tree), pin_gauss(g_params), state.opt_state, lrs
+            train_tree, g_params, state.opt_state, lrs
         )
         new_params = with_trainable(state.params, new_tree)
 
@@ -185,20 +242,26 @@ def make_sharded_train_step(
         else:
             new_contrast, new_copt = state.contrast, state.contrast_opt
 
-        # batched stats: accumulate every view's tap gradient (the
-        # single-view reference accumulates one view per iteration)
-        new_stats = state.stats
-        new_stats = update_stats(
-            new_stats,
-            jnp.sum(g_taps, axis=0),
-            jnp.max(radii, axis=0),
-            jnp.any(vis, axis=0),
+        # densify stats: per-view accumulation (B reference iterations'
+        # worth per step); ×B undoes the loss's batch-mean normalization
+        vis_f = vis.astype(jnp.float32)  # [B_local, C/gauss]
+        gnorm = jnp.linalg.norm(g_taps, axis=-1) * b_global
+        acc = jax.lax.psum(jnp.sum(gnorm * vis_f, axis=0), DATA_AXIS)
+        den = jax.lax.psum(jnp.sum(vis_f, axis=0), DATA_AXIS)
+        rmax = jax.lax.pmax(jnp.max(radii * vis_f, axis=0), DATA_AXIS)
+        new_stats = DensifyStats(
+            grad_accum=state.stats.grad_accum + acc,
+            denom=state.stats.denom + den,
+            max_radii2d=jnp.maximum(state.stats.max_radii2d, rmax),
         )
 
+        any_vis = jax.lax.pmax(
+            jnp.any(vis, axis=0).astype(jnp.int32), DATA_AXIS
+        )
         metrics = {
-            "loss": loss,
+            "loss": jax.lax.psum(loss, DATA_AXIS),
             "contrast": new_contrast,
-            "num_visible": jnp.sum(jnp.any(vis, axis=0)),
+            "num_visible": jax.lax.psum(jnp.sum(any_vis), GAUSS_AXIS),
         }
         new_state = state.replace(
             params=new_params,
@@ -210,4 +273,42 @@ def make_sharded_train_step(
         )
         return new_state, metrics
 
-    return train_step
+    # The shard_map in/out specs depend on the state's leaf shapes, so the
+    # transformed step is built lazily per capacity and cached — capacity
+    # growth rebuilds, everything else reuses the compiled step.
+    #
+    # Trace/lower split: tracing runs with shard_map's vma checking ON
+    # (required — it drives the collective-transpose rules that make the
+    # cross-shard compositing gradients exact; with it off, psum transposes
+    # K-fold overcount), but LOWERING runs with the check off: the Pallas
+    # interpret lowering replays index-map jaxprs against vma-typed scalar
+    # operands, which the replay machinery cannot type-check (the jaxprs
+    # were traced against un-annotated SMEM refs).  The jaxpr is final
+    # before lowering, so this changes no semantics.
+    cache: dict = {}
+
+    def step(state, data: SceneData, idx_main, idx_now, idx_next, bg):
+        from jax._src import config as _jax_config
+
+        key = state.params.capacity
+        if key not in cache:
+            state_specs = state_partition_specs(state, mesh)
+            data_specs = jax.tree.map(lambda _: P(), data)
+            metric_specs = {"loss": P(), "contrast": P(), "num_visible": P()}
+            mapped = jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(
+                    state_specs, data_specs, P(DATA_AXIS), P(DATA_AXIS),
+                    P(DATA_AXIS), P(),
+                ),
+                out_specs=(state_specs, metric_specs),
+            )
+            traced = jax.jit(mapped).trace(
+                state, data, idx_main, idx_now, idx_next, bg
+            )
+            with _jax_config._check_vma(False):
+                cache[key] = traced.lower().compile()
+        return cache[key](state, data, idx_main, idx_now, idx_next, bg)
+
+    return step

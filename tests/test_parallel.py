@@ -1,17 +1,40 @@
-"""Multi-device tests on the virtual 8-device CPU mesh."""
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+The correctness claim under test (SURVEY §2.4): the Gaussian-sharded,
+view-batched shard_map train step — including the production tiled Pallas
+rasterizer running per-shard and the cross-shard depth-ordered compositing
+merge — computes the same loss, gradients and parameter updates as the
+single-device step.
+"""
+
+from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+from jax.sharding import PartitionSpec as P
 
-from event3dgs_tpu.data.synthetic import make_synthetic_scene
+from event3dgs_tpu.core.sh import rgb_to_sh
+from event3dgs_tpu.data.synthetic import make_synthetic_scene, orbit_cameras
+from event3dgs_tpu.core.camera import stack_cameras
 from event3dgs_tpu.models import init_from_point_cloud
+from event3dgs_tpu.models.gaussians import (
+    GaussianParams,
+    activated,
+    trainable_dict,
+    with_trainable,
+)
+from event3dgs_tpu.ops.render import render, render_partials
 from event3dgs_tpu.parallel import (
     make_mesh,
     make_sharded_train_step,
+    merge_depth_partials,
+    repartition_by_depth,
     shard_train_state,
 )
+from event3dgs_tpu.parallel.mesh import GAUSS_AXIS
+from event3dgs_tpu.parallel.partition import depth_partition_perm
 from event3dgs_tpu.train import SceneData, init_train_state, make_train_step
 from event3dgs_tpu.utils.config import EventConfig, OptimizationConfig
 
@@ -20,6 +43,24 @@ from event3dgs_tpu.utils.config import EventConfig, OptimizationConfig
 def scene():
     return make_synthetic_scene(n_gaussians=40, n_views=12, width=64, height=48,
                                 arc=0.5)
+
+
+@pytest.fixture(scope="module")
+def layered_scene():
+    """Two depth-separated Gaussian clusters: the gauss=2 quantile partition
+    is then exactly depth-ordered for every view, so the cross-shard merge
+    must be *exact* (up to f32)."""
+    rng = np.random.default_rng(7)
+    near = np.c_[rng.uniform(-0.6, 0.6, 20), rng.uniform(-0.4, 0.4, 20),
+                 rng.uniform(-1.5, -1.0, 20)]
+    far = np.c_[rng.uniform(-0.8, 0.8, 20), rng.uniform(-0.6, 0.6, 20),
+                rng.uniform(1.0, 1.6, 20)]
+    points = np.concatenate([near, far], axis=0)
+    colors = rng.uniform(0.1, 1.0, (40, 3))
+    cams = orbit_cameras(6, radius=4.0, width=64, img_height=32, arc=0.3)
+    cameras = stack_cameras(cams)
+    images = jnp.asarray(rng.uniform(0, 1, (6, 32, 64, 3)), jnp.float32)
+    return cameras, images, points, colors
 
 
 def build_state(scene, capacity=64):
@@ -38,23 +79,140 @@ class TestMesh:
             make_mesh(8, data=3, gauss=3)
 
 
+class TestDepthPartition:
+    def test_perm_is_valid_and_quantile_ordered(self, layered_scene):
+        cameras, _, points, colors = layered_scene
+        params = init_from_point_cloud(points, colors, capacity=64)
+        perm = depth_partition_perm(
+            np.asarray(params.xyz), np.asarray(params.alive), cameras, 2
+        )
+        assert sorted(perm.tolist()) == list(range(64))
+        alive = np.asarray(params.alive)
+        # shard 0 holds the 20 near points, shard 1 the 20 far points
+        xyz = np.asarray(params.xyz)
+        s0 = perm[:32][alive[perm[:32]]]
+        s1 = perm[32:][alive[perm[32:]]]
+        assert len(s0) == 20 and len(s1) == 20
+        assert xyz[s0][:, 2].max() < xyz[s1][:, 2].min()
+
+    def test_repartition_permutes_all_state_leaves(self, scene):
+        state = build_state(scene)
+        out = repartition_by_depth(state, scene.cameras, 4)
+        # same multiset of parameters, alive count preserved
+        assert int(out.params.alive.sum()) == int(state.params.alive.sum())
+        a = np.sort(np.asarray(state.params.xyz), axis=0)
+        b = np.sort(np.asarray(out.params.xyz), axis=0)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestMergePartials:
+    def test_merge_matches_sequential_compositing(self):
+        """The shard_map merge must equal front-to-back over-compositing of
+        the per-shard partials, including gradients through OTHER shards'
+        transmittance prefixes."""
+        mesh = make_mesh(8, data=1, gauss=8)
+        k = 8
+        rng = np.random.default_rng(0)
+        rgb = jnp.asarray(rng.uniform(0, 0.3, (k, 4, 8, 3)), jnp.float32)
+        logt = jnp.asarray(-rng.uniform(0, 1.0, (k, 4, 8)), jnp.float32)
+        bg = jnp.asarray([0.2, 0.4, 0.6])
+
+        def ref(rgb, logt):
+            prefix = jnp.cumsum(logt, axis=0) - logt
+            img = jnp.sum(jnp.exp(prefix)[..., None] * rgb, axis=0)
+            return img + jnp.exp(logt.sum(0))[..., None] * bg[None, None, :]
+
+        @partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(GAUSS_AXIS), P(GAUSS_AXIS)), out_specs=P(),
+        )
+        def sharded(rgb, logt):
+            return merge_depth_partials(rgb[0], logt[0], bg, GAUSS_AXIS, k)
+
+        with mesh:
+            np.testing.assert_allclose(
+                np.asarray(sharded(rgb, logt)), np.asarray(ref(rgb, logt)),
+                atol=1e-6,
+            )
+            loss_s = lambda r, l: jnp.sum(sharded(r, l) ** 2)
+            loss_r = lambda r, l: jnp.sum(ref(r, l) ** 2)
+            gs = jax.grad(loss_s, argnums=(0, 1))(rgb, logt)
+            gr = jax.grad(loss_r, argnums=(0, 1))(rgb, logt)
+            for a, b in zip(gs, gr):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5)
+
+
+class TestShardedRenderGrads:
+    def test_sharded_render_loss_and_grads_match(self, layered_scene):
+        """Gauss-sharded tiled rendering + merge ≡ unsharded tiled render:
+        loss and raw parameter gradients (no Adam amplification)."""
+        cameras, images, points, colors = layered_scene
+        params = init_from_point_cloud(points, colors, capacity=64)
+        state = init_train_state(params, spatial_lr_scale=3.0)
+        state = repartition_by_depth(state, cameras, 2)
+        params = state.params
+        mesh = make_mesh(8, gauss=2)
+        bg = jnp.zeros(3)
+        cam0 = jax.tree.map(lambda x: x[0], cameras)
+        gt = images[0]
+        tree = trainable_dict(params)
+
+        def loss_u(tree):
+            p = with_trainable(params, tree)
+            act = activated(p)
+            out = render(
+                act.means3d, act.features, act.opacities, act.scales,
+                act.rotations, cam0, bg, sh_degree=3, rasterizer="tiled",
+            )
+            return jnp.mean(jnp.abs(out.image - gt))
+
+        lu, gu = jax.value_and_grad(loss_u)(tree)
+
+        spec = jax.tree.map(lambda _: P(GAUSS_AXIS), tree)
+
+        @partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(spec, P(GAUSS_AXIS)), out_specs=P(),
+        )
+        def loss_s(tree, alive):
+            local = GaussianParams(alive=alive, **tree)
+            act = activated(local)
+            pr = render_partials(
+                act.means3d, act.features, act.opacities, act.scales,
+                act.rotations, cam0, sh_degree=3, rasterizer="tiled",
+            )
+            img = merge_depth_partials(pr.rgb, pr.logt, bg, GAUSS_AXIS, 2)
+            return jnp.mean(jnp.abs(img - gt))[None]
+
+        ls, gs = jax.value_and_grad(
+            lambda t: loss_s(t, params.alive)[0]
+        )(tree)
+        assert float(lu) == pytest.approx(float(ls), rel=1e-5)
+        for k in gu:
+            np.testing.assert_allclose(
+                np.asarray(gs[k]), np.asarray(gu[k]), atol=2e-5,
+                err_msg=f"grad mismatch in {k}",
+            )
+
+
 class TestShardedStep:
     @pytest.mark.parametrize("gauss", [1, 2])
     def test_sharded_event_step_runs(self, scene, gauss):
         mesh = make_mesh(8, gauss=gauss)
-        state = shard_train_state(build_state(scene), mesh)
+        state = repartition_by_depth(build_state(scene), scene.cameras, gauss)
+        state = shard_train_state(state, mesh)
         data = SceneData(
             cameras=scene.cameras, images=scene.images,
             event_cameras=scene.cameras, event_images=scene.images,
         )
-        with mesh:
-            step = make_sharded_train_step(
-                "event", OptimizationConfig(), EventConfig(), mesh,
-                spatial_lr_scale=scene.extent,
-            )
-            b = mesh.shape["data"]
-            idx = jnp.arange(b, dtype=jnp.int32) + 1
-            new_state, metrics = step(state, data, idx, idx, idx + 1, jnp.zeros(3))
+        step = make_sharded_train_step(
+            "event", OptimizationConfig(), EventConfig(), mesh,
+            spatial_lr_scale=scene.extent,
+        )
+        b = mesh.shape["data"]
+        idx = jnp.arange(b, dtype=jnp.int32) + 1
+        new_state, metrics = step(state, data, idx, idx, idx + 1, jnp.zeros(3))
         assert np.isfinite(float(metrics["loss"]))
         assert int(new_state.step) == 1
         # the parameter sharding survived the update
@@ -71,19 +229,74 @@ class TestShardedStep:
         data = SceneData(cameras=scene.cameras, images=scene.images)
         opt, ev = OptimizationConfig(), EventConfig()
 
-        plain = make_train_step("rgb", opt, ev, spatial_lr_scale=scene.extent)
+        plain = make_train_step("rgb", opt, ev, spatial_lr_scale=scene.extent,
+                                rasterizer="tiled")
         s1, m1 = plain(state, data, jnp.asarray(3), jnp.asarray(3),
                        jnp.asarray(4), jnp.zeros(3))
 
-        with mesh:
-            sharded = make_sharded_train_step(
-                "rgb", opt, ev, mesh, spatial_lr_scale=scene.extent
-            )
-            s2, m2 = sharded(
-                state, data, jnp.asarray([3]), jnp.asarray([3]),
-                jnp.asarray([4]), jnp.zeros(3),
-            )
+        sharded = make_sharded_train_step(
+            "rgb", opt, ev, mesh, spatial_lr_scale=scene.extent
+        )
+        s2, m2 = sharded(
+            state, data, jnp.asarray([3]), jnp.asarray([3]),
+            jnp.asarray([4]), jnp.zeros(3),
+        )
         assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
         np.testing.assert_allclose(
             np.array(s1.params.xyz), np.array(s2.params.xyz), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.array(s1.stats.grad_accum), np.array(s2.stats.grad_accum),
+            atol=1e-6,
+        )
+
+    def test_sharded_event_step_matches_plain(self, layered_scene):
+        """gauss=2, data=4, event mode vs the single-device step.
+
+        All four data ranks get the SAME view, so the batched mean loss and
+        its gradients equal the single-view ones, and the stats accumulate
+        exactly 4 reference iterations' worth.  Parameter tolerance is
+        Adam-step-sized where gradients are ~0 (first-step Adam normalizes
+        any gradient to ±lr, amplifying f32-level gradient differences);
+        loss/stats pin the tight comparison.
+        """
+        cameras, images, points, colors = layered_scene
+        params = init_from_point_cloud(points, colors, capacity=64)
+        state0 = init_train_state(params, spatial_lr_scale=3.0)
+        state0 = repartition_by_depth(state0, cameras, 2)
+        data = SceneData(cameras=cameras, images=images,
+                         event_cameras=cameras, event_images=images)
+        opt, ev = OptimizationConfig(), EventConfig()
+
+        plain = make_train_step("event", opt, ev, spatial_lr_scale=3.0,
+                                rasterizer="tiled")
+        s1, m1 = plain(state0, data, jnp.asarray(2), jnp.asarray(2),
+                       jnp.asarray(3), jnp.zeros(3))
+
+        mesh = make_mesh(8, gauss=2)
+        state_s = shard_train_state(state0, mesh)
+        sharded = make_sharded_train_step(
+            "event", opt, ev, mesh, spatial_lr_scale=3.0
+        )
+        idx = jnp.full((4,), 2, jnp.int32)
+        s2, m2 = sharded(state_s, data, idx, idx, idx + 1, jnp.zeros(3))
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+        assert float(s1.contrast) == pytest.approx(float(s2.contrast), abs=1e-6)
+        for f in ("xyz", "features_dc", "scaling", "opacity", "rotation"):
+            a = np.asarray(getattr(s1.params, f))
+            b = np.asarray(getattr(s2.params, f))
+            np.testing.assert_allclose(a, b, atol=3e-3, err_msg=f)
+        # stats: exactly 4 single-view accumulations
+        np.testing.assert_allclose(
+            np.asarray(s2.stats.denom), 4 * np.asarray(s1.stats.denom),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2.stats.grad_accum),
+            4 * np.asarray(s1.stats.grad_accum), atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2.stats.max_radii2d),
+            np.asarray(s1.stats.max_radii2d), atol=1e-4,
         )
