@@ -63,8 +63,15 @@ def write_dat_events(
         f.write(inter.tobytes())
 
 
-def load_dat_events(path: str):
-    """Load a Prophesee `.dat` file (auto-detects v1/v2 from the header).
+def load_dat_events(path: str, start: int = 0, stop: int = -1):
+    """Load a Prophesee/IEBCS `.dat` file (auto-detects v1/v2).
+
+    The same binary format the IEBCS simulator emits — the reference's
+    IEBCS loader (`load_dat_event`, `event_file_io.py:57-146`) is this
+    decoder with a ``start``/``stop`` timestamp window: events before
+    ``start`` µs are skipped and, when ``stop > 0``, events at or after
+    ``stop`` µs are dropped (vectorized here; the reference scans the file
+    byte-wise).
 
     Returns (t u64, x u16, y u16, p u8).
     """
@@ -84,6 +91,11 @@ def load_dat_events(path: str):
         payload = payload[:-1]
     t = payload[0::2].astype(np.uint64)
     data = payload[1::2]
+    if start > 0 or stop > 0:
+        keep = t >= np.uint64(start)
+        if stop > 0:
+            keep &= t < np.uint64(stop)
+        t, data = t[keep], data[keep]
     text = header.decode("ascii", "replace")
     version = 0
     if "Version" in text:
@@ -224,6 +236,88 @@ def read_volt_windowed(path: str, delta_t: int) -> EventsData:
     return window_events(*load_text_events(path, time_scale=1.0), delta_t)
 
 
+def read_iebcs_windowed(path: str, delta_t: int) -> EventsData:
+    """IEBCS `.dat` → windowed EventsData with the reference's exact
+    bucketing (`read_IEBCS_events`, `event_file_io.py:251-294`): buckets
+    are anchored at the first event's timestamp, ``duration // delta_t``
+    full windows plus one remainder window holding the tail — unlike the
+    generic :func:`window_events`, whose last regular bucket absorbs the
+    tail.  ``global_min_t`` is normalized to 0."""
+    t, x, y, p = load_dat_events(path)
+    width = int(np.max(x)) + 1 if len(x) else 0
+    height = int(np.max(y)) + 1 if len(y) else 0
+    windows = []
+    if len(t):
+        start, end = int(t[0]), int(t[-1])
+        num_buffers = (end - start) // delta_t
+
+        def bucket(a, b):
+            w = np.zeros(b - a, WINDOW_DTYPE)
+            w["x"], w["y"], w["p"], w["t"] = x[a:b], y[a:b], p[a:b], t[a:b]
+            return w
+
+        for i in range(num_buffers):
+            a = np.searchsorted(t, start + i * delta_t)
+            b = np.searchsorted(t, start + (i + 1) * delta_t, side="right")
+            windows.append(bucket(a, b))
+        rem = np.searchsorted(t, start + num_buffers * delta_t)
+        if rem < len(t):
+            windows.append(bucket(rem, len(t)))
+    return EventsData(
+        events=windows,
+        width=width,
+        height=height,
+        delta_t=delta_t,
+        global_min_t=0,
+        global_max_t=(int(t[-1]) - int(t[0])) if len(t) else 0,
+    )
+
+
+def read_metavision_live(path: str, delta_t: int) -> EventsData:
+    """Metavision RAW/live stream → windowed EventsData.
+
+    The reference's `read_real_events` (`event_file_io.py:156-173`) decodes
+    EVT3 `.raw` recordings and live camera streams through the proprietary
+    Metavision SDK (`metavision_core.event_io.EventsIterator`); the EVT3
+    wire format is compressed and undocumented, so there is no SDK-free
+    decode path (the reference itself notes it cannot re-encode EVT3).
+    This reader uses the SDK when installed and raises a clear error
+    otherwise — record to `.dat`/HDF5 for the SDK-free pipeline.
+    """
+    try:
+        from metavision_core.event_io import EventsIterator  # type: ignore
+    except ImportError as e:
+        raise ImportError(
+            "Metavision RAW/live input requires the proprietary Metavision "
+            "SDK (pip package `metavision-core`, Prophesee license). "
+            "Convert recordings to .dat or HDF5 for the SDK-free readers "
+            "(events/io.py WINDOWED_READERS)."
+        ) from e
+
+    it = EventsIterator(input_path=path, delta_t=delta_t)
+    height, width = it.get_size()
+    windows = []
+    gmin = gmax = -1
+    for evs in it:
+        if evs.size == 0:
+            continue
+        if gmin == -1:
+            gmin = int(evs["t"][0])
+        gmax = int(evs["t"][-1])
+        w = np.zeros(evs.size, WINDOW_DTYPE)
+        for k in ("x", "y", "p", "t"):
+            w[k] = evs[k]
+        windows.append(w)
+    return EventsData(
+        events=windows,
+        width=width,
+        height=height,
+        delta_t=delta_t,
+        global_min_t=0,
+        global_max_t=max(gmax - gmin, 0),
+    )
+
+
 def read_h5_windowed(path: str, delta_t: int) -> EventsData:
     """EDS/TUM-VIE style HDF5 stream → windowed EventsData
     (`read_eds_events` / `read_Tumvie_events`, `event_file_io.py:174-250`)."""
@@ -239,11 +333,13 @@ def read_csv_windowed(path: str, delta_t: int) -> EventsData:
 #: tooling uses (reference `EventsData.read_*` method family).
 WINDOWED_READERS = {
     "dat": read_dat_windowed,
-    "iebcs": read_dat_windowed,
+    "iebcs": read_iebcs_windowed,
     "h5": read_h5_windowed,
     "eds": read_h5_windowed,
     "tumvie": read_h5_windowed,
     "v2e": read_v2e_windowed,
     "volt": read_volt_windowed,
     "csv": read_csv_windowed,
+    "raw": read_metavision_live,
+    "metavision": read_metavision_live,
 }

@@ -223,6 +223,21 @@ def lpips_fn(weights_path: Optional[str] = None,
     """
     path = weights_path or os.environ.get("EVENT3DGS_LPIPS_WEIGHTS")
     if not path or not os.path.exists(path):
+        import warnings
+
+        warnings.warn(
+            "LPIPS weights not found"
+            + (f" at {path!r}" if path else "")
+            + ": evaluation will report SSIM/PSNR ONLY and omit LPIPS. "
+            "To enable it, download the torch LPIPS v0.1 checkpoint on a "
+            "machine with network access (pip install lpips; "
+            "lpips.LPIPS(net='alex') caches torchvision alexnet + linear "
+            "heads), convert with "
+            "event3dgs_tpu.losses.lpips.convert_torch_weights(out='lpips_"
+            "alex.npz'), and point $EVENT3DGS_LPIPS_WEIGHTS (or "
+            "--lpips_weights) at the .npz.",
+            stacklevel=2,
+        )
         return None
     params = load_weights(path)
     return jax.jit(partial(lpips_distance, params, net=net))

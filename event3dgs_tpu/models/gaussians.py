@@ -119,6 +119,37 @@ def mean_sq_dist_3nn(points: np.ndarray) -> np.ndarray:
     return np.mean(dists[:, 1:] ** 2, axis=1)
 
 
+def grow_params(params: GaussianParams, new_capacity: int) -> GaussianParams:
+    """Grow the capacity buffers, preserving all live slots.
+
+    The TPU equivalent of the reference's tensor reallocation on densify
+    (`scene/gaussian_model.py:349-403` never drops candidates): when a
+    densify step reports overflow, the host grows capacity (one re-jit) and
+    re-runs it.  New slots are dead, with identity rotations (a zero
+    quaternion would NaN `quat_to_rotmat`'s normalization) and the init
+    opacity fill.
+    """
+    c = params.capacity
+    if new_capacity <= c:
+        raise ValueError(f"new capacity {new_capacity} <= current {c}")
+    pad = new_capacity - c
+
+    def zpad(leaf):
+        return jnp.pad(leaf, [(0, pad)] + [(0, 0)] * (leaf.ndim - 1))
+
+    rot_pad = jnp.zeros((pad, 4)).at[:, 0].set(1.0)
+    opa_pad = jnp.full((pad, 1), float(inverse_sigmoid(0.1)), jnp.float32)
+    return GaussianParams(
+        xyz=zpad(params.xyz),
+        features_dc=zpad(params.features_dc),
+        features_rest=zpad(params.features_rest),
+        scaling=zpad(params.scaling),
+        rotation=jnp.concatenate([params.rotation, rot_pad], axis=0),
+        opacity=jnp.concatenate([params.opacity, opa_pad], axis=0),
+        alive=zpad(params.alive),
+    )
+
+
 def init_from_point_cloud(
     points: np.ndarray,
     colors: np.ndarray,

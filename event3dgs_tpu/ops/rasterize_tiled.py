@@ -657,8 +657,10 @@ def _build_rasterizer(
         # NOTE: static grid on purpose — a dynamic (traced) Mosaic grid
         # bound measured ~2.6× slower per step (it defeats DMA
         # double-buffering), wiping out the saved tail steps.  The pad tail
-        # is minimized by sizing instance_cap adaptively instead (see
-        # suggest_instance_cap / the training loop's overflow growth).
+        # is minimized by sizing instance_cap adaptively instead: the
+        # training loop measures real counts (`train/loop.py:
+        # measure_instance_cap`) and rebuilds with a bigger cap before the
+        # binning would overflow.
         return jnp.full((1,), total_chunks, jnp.int32), total_chunks
 
     def run_forward(mean2d, depth, conic, radius, validf, colors, opacities):

@@ -42,8 +42,15 @@ def init_distributed(
     CPU/GPU clusters pass them explicitly.  Must be called before any other
     JAX operation in every process of the job.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # idempotence probe that does NOT touch the XLA backend (jax.process_count
+    # would initialize it, which jax.distributed.initialize forbids)
+    try:
+        from jax._src import distributed as _distributed
+
+        if _distributed.global_state.client is not None:
+            return  # already initialized
+    except (ImportError, AttributeError):
+        pass
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address

@@ -92,14 +92,25 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place the train state with Gaussian storage sharded over ``gauss``.
 
     Every per-Gaussian leaf (params, Adam moments, densify stats) shards its
-    capacity dimension; scalars replicate.
+    capacity dimension; scalars replicate.  Works on multi-host meshes too:
+    every process must hold the identical full-value state (true after init
+    or a densify round-trip), and each contributes its addressable shards.
     """
+    import numpy as np
+
     specs = state_partition_specs(state, mesh)
-    return jax.tree.map(
-        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
-        state,
-        specs,
-    )
+    multihost = jax.process_count() > 1
+
+    def place(leaf, spec):
+        sharding = NamedSharding(mesh, spec)
+        if multihost:
+            arr = np.asarray(leaf)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx]
+            )
+        return jax.device_put(leaf, sharding)
+
+    return jax.tree.map(place, state, specs)
 
 
 def unshard_state(state: TrainState) -> TrainState:

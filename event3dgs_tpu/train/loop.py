@@ -18,7 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from event3dgs_tpu.train.state import SceneData, TrainState
+from event3dgs_tpu.models.gaussians import activated
+from event3dgs_tpu.ops.binning import count_instances, suggest_instance_cap
+from event3dgs_tpu.ops.projection import project_gaussians
+from event3dgs_tpu.train.state import SceneData, TrainState, grow_state
 from event3dgs_tpu.train.step import (
     make_densify_step,
     make_train_step,
@@ -46,6 +49,62 @@ class TrainResult:
     state: TrainState
     history: list = field(default_factory=list)
     wall_time: float = 0.0
+
+
+@jax.jit
+def _probe_instance_count(params, camera):
+    """Measured (tile, gaussian) instance count of one view — the cheap
+    counting half of binning (`ops/binning.py:count_instances`), used to
+    size the rasterizer's static instance budget adaptively (the CUDA
+    rasterizer allocates its buffer per frame; the TPU equivalent is a cap
+    chosen from measurements, re-jitted on the rare growth event)."""
+    act = activated(params)
+    proj = project_gaussians(
+        act.means3d, act.scales, act.rotations, camera,
+        opacities=act.opacities,
+    )
+    return count_instances(
+        proj.mean2d, proj.radius, proj.valid, camera.width, camera.height
+    )
+
+
+def measure_instance_cap(
+    params, cameras, probe_views=8, margin: float = 1.5
+) -> int:
+    """Suggested instance cap: max measured count over a camera probe set,
+    with headroom for densification growth between re-measurements."""
+    n_views = cameras.camera_center.shape[0]
+    step = max(1, n_views // probe_views)
+    worst = 0
+    for v in range(0, n_views, step):
+        cam = jax.tree.map(lambda x: x[v], cameras)
+        worst = max(worst, int(_probe_instance_count(params, cam)))
+    return suggest_instance_cap(worst, margin)
+
+
+def densify_with_growth(
+    state: TrainState, densify_fn, rng, use_size_prune: bool,
+    growth: float = 1.5,
+):
+    """Run a densify step, growing capacity (re-jit) until nothing is
+    dropped — the reference never drops densification candidates
+    (`scene/gaussian_model.py:349-403`); the fixed-capacity TPU design
+    makes growth an explicit, rare host event instead of a per-step
+    reallocation.
+
+    Returns (state, grew: bool).  The densify step is deterministic in
+    (state, rng), so a dropped attempt is simply discarded and re-run at
+    the larger capacity with the same rng.
+    """
+    new_state, overflow = densify_fn(state, rng, use_size_prune)
+    grew = False
+    while int(overflow) > 0:
+        new_cap = int(state.params.capacity * growth) + int(overflow)
+        new_cap = -(-new_cap // 256) * 256
+        state = grow_state(state, new_cap)
+        grew = True
+        new_state, overflow = densify_fn(state, rng, use_size_prune)
+    return new_state, grew
 
 
 def pick_view_index(rng: pyrandom.Random, n_views: int, mode: str, holdout: bool):
@@ -91,14 +150,25 @@ def train_loop(
     )
     holdout = mode != "rgb"  # gray/event hold out the manual test views
 
-    step_fn = make_train_step(
-        mode,
-        opt,
-        ev,
-        max_sh_degree=state.max_sh_degree,
-        spatial_lr_scale=state.spatial_lr_scale,
-        rasterizer=cfg.pipeline.rasterizer,
+    # adaptive instance budget for the tiled rasterizer: measured at start,
+    # re-measured (and the step re-built on growth) at densify boundaries
+    use_tiled = cfg.pipeline.rasterizer == "tiled"
+    instance_cap = (
+        measure_instance_cap(state.params, data.cameras) if use_tiled else None
     )
+
+    def build_step():
+        return make_train_step(
+            mode,
+            opt,
+            ev,
+            max_sh_degree=state.max_sh_degree,
+            spatial_lr_scale=state.spatial_lr_scale,
+            rasterizer=cfg.pipeline.rasterizer,
+            instance_cap=instance_cap,
+        )
+
+    step_fn = build_step()
     densify_fn = make_densify_step(opt, extent)
 
     if cfg.model.white_background:
@@ -132,15 +202,32 @@ def train_loop(
             callbacks.on_metrics(it, jax.device_get(metrics))
         history.append(float(metrics["loss"]))
 
-        # Densification (`train.py:316-327`)
+        # Densification (`train.py:316-327`), with capacity growth: when
+        # candidates outnumber free slots the buffers grow (re-jit) and the
+        # densify re-runs — no candidate is ever dropped.
         if it < opt.densify_until_iter:
             if it > opt.densify_from_iter and it % opt.densification_interval == 0:
                 key, sub = jax.random.split(key)
                 use_size_prune = it > opacity_reset_interval
-                state, overflow = densify_fn(state, sub, use_size_prune)
-                ovf = int(overflow)
-                if ovf > 0 and callbacks.on_metrics:
-                    callbacks.on_metrics(it, {"densify_overflow": ovf})
+                state, grew = densify_with_growth(
+                    state, densify_fn, sub, use_size_prune
+                )
+                if grew and callbacks.on_metrics:
+                    callbacks.on_metrics(
+                        it, {"capacity": state.params.capacity}
+                    )
+                # instance budget: re-measure after the scene changed; grow
+                # the cap (rebuild = one re-jit) before the binning path
+                # would overflow and silently drop instances
+                if use_tiled:
+                    needed = measure_instance_cap(state.params, data.cameras)
+                    if needed > instance_cap:
+                        instance_cap = needed
+                        step_fn = build_step()
+                        if callbacks.on_metrics:
+                            callbacks.on_metrics(
+                                it, {"instance_cap": instance_cap}
+                            )
             if it % opacity_reset_interval == 0 or (
                 cfg.model.white_background and it == opt.densify_from_iter
             ):

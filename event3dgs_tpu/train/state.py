@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -71,6 +72,35 @@ def init_train_state(
         step=jnp.zeros((), jnp.int32),
         spatial_lr_scale=float(spatial_lr_scale),
         max_sh_degree=max_sh_degree,
+    )
+
+
+def grow_state(state: TrainState, new_capacity: int) -> TrainState:
+    """Grow every capacity-sized buffer of the train state (host-side).
+
+    Parameters grow via ``models.gaussians.grow_params``; Adam moments and
+    densify stats zero-pad (new slots are dead until densification claims
+    them, which zeroes their moments anyway).  Compiled steps re-jit on the
+    new shapes automatically — this is the rare event the fixed-capacity
+    design budgets for (see ``models/gaussians.py`` module docs).
+    """
+    from event3dgs_tpu.models.gaussians import grow_params
+
+    c = state.params.capacity
+    pad = new_capacity - c
+
+    def zpad_tree(tree):
+        def z(leaf):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == c:
+                return jnp.pad(leaf, [(0, pad)] + [(0, 0)] * (leaf.ndim - 1))
+            return leaf
+
+        return jax.tree.map(z, tree)
+
+    return state.replace(
+        params=grow_params(state.params, new_capacity),
+        opt_state=zpad_tree(state.opt_state),
+        stats=zpad_tree(state.stats),
     )
 
 

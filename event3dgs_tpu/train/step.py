@@ -80,8 +80,15 @@ def make_train_step(
     max_sh_degree: int = 3,
     spatial_lr_scale: float = 1.0,
     rasterizer: str = "reference",
+    instance_cap: int | None = None,
 ) -> Callable:
-    """Build the compiled train step for a training mode."""
+    """Build the compiled train step for a training mode.
+
+    ``instance_cap`` is the tiled rasterizer's static (tile, gaussian)
+    instance budget; the training loop sizes it from measured counts and
+    rebuilds the step (re-jit) when the scene outgrows it
+    (`train/loop.py`).  None falls back to a generous heuristic.
+    """
     if mode not in MODES:
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
 
@@ -118,6 +125,7 @@ def make_train_step(
                 sh_degree=max_sh_degree,
                 mean2d_tap=tap,
                 rasterizer=rasterizer,
+                instance_cap=instance_cap,
             )
 
         def loss_fn(train_tree, contrast, tap):

@@ -154,3 +154,122 @@ class TestEsim:
         t = buf.arrays()[0]
         assert t.min() >= 0 and t.max() <= 1000
         assert len(np.unique(t)) > 1  # crossings spread over the interval
+
+
+class TestIOTail:
+    """IEBCS decode, start/stop windows, Metavision stub, viz functions
+    (VERDICT r2 item 9)."""
+
+    def _write_stream(self, tmp_path):
+        from event3dgs_tpu.events.io import write_dat_events
+
+        t = np.arange(0, 1000, 10, dtype=np.uint64) + 5
+        x = (np.arange(len(t)) % 7).astype(np.uint16)
+        y = (np.arange(len(t)) % 5).astype(np.uint16)
+        p = (np.arange(len(t)) % 2).astype(np.uint8)
+        path = str(tmp_path / "ev.dat")
+        write_dat_events(path, t, x, y, p)
+        return path, t, x, y, p
+
+    def test_load_dat_start_stop(self, tmp_path):
+        from event3dgs_tpu.events.io import load_dat_events
+
+        path, t, x, y, p = self._write_stream(tmp_path)
+        t2, x2, y2, p2 = load_dat_events(path, start=105, stop=505)
+        keep = (t >= 105) & (t < 505)
+        np.testing.assert_array_equal(t2, t[keep])
+        np.testing.assert_array_equal(x2, x[keep])
+
+    def test_iebcs_windowing_matches_reference_semantics(self, tmp_path):
+        from event3dgs_tpu.events.io import read_iebcs_windowed
+
+        path, t, x, y, p = self._write_stream(tmp_path)
+        # duration = 990, delta_t 300 -> 3 full buckets + remainder
+        ed = read_iebcs_windowed(path, 300)
+        assert len(ed.events) == 4
+        # buckets anchored at t[0]=5; side="right" makes full buckets
+        # inclusive of their right edge (reference searchsorted semantics)
+        starts = [int(w["t"][0]) for w in ed.events if w.size]
+        assert starts[0] == 5
+        total = sum(w.size for w in ed.events)
+        # boundary events t = 305/605/905 land in BOTH their bucket and the
+        # next — faithful to the reference's searchsorted semantics
+        # (side="right" bucket ends overlap the next side="left" start,
+        # `event_file_io.py:272-273`)
+        assert total == len(t) + 3
+        assert ed.global_min_t == 0
+        assert ed.global_max_t == int(t[-1] - t[0])
+
+    def test_metavision_stub_raises_with_guidance(self):
+        from event3dgs_tpu.events.io import read_metavision_live
+
+        with pytest.raises(ImportError, match="Metavision SDK"):
+            read_metavision_live("/nonexistent.raw", 1000)
+
+    def test_registry_routes_iebcs_distinctly(self):
+        from event3dgs_tpu.events.io import (
+            WINDOWED_READERS, read_dat_windowed, read_iebcs_windowed,
+        )
+
+        assert WINDOWED_READERS["iebcs"] is read_iebcs_windowed
+        assert WINDOWED_READERS["dat"] is read_dat_windowed
+        assert "raw" in WINDOWED_READERS
+
+
+class TestEventViz:
+    def _events(self):
+        from event3dgs_tpu.events.io import WINDOW_DTYPE
+
+        ev = np.zeros(6, WINDOW_DTYPE)
+        ev["x"] = [1, 1, 2, 3, 3, 3]
+        ev["y"] = [0, 0, 1, 2, 2, 2]
+        ev["p"] = [1, 1, 0, 1, 0, 0]
+        ev["t"] = [10, 20, 30, 40, 50, 1000]
+        return ev
+
+    def test_display_events_frame_counts(self):
+        from event3dgs_tpu.events.display import display_events_frame
+
+        img = display_events_frame(self._events(), 0, 100, width=8, height=4)
+        assert img.shape == (4, 8, 3)
+        assert img[0, 1, 2] == 20   # two ON events at (1,0) -> red 2*10
+        assert img[1, 2, 0] == 10   # one OFF at (2,1) -> blue
+        assert img[2, 3, 2] == 10 and img[2, 3, 0] == 10
+        # t=1000 event excluded by the window
+        assert img.sum() == 20 + 10 + 10 + 10
+
+    def test_event_cloud_3d_colors(self):
+        from event3dgs_tpu.events.display import event_cloud_3d
+
+        out = event_cloud_3d(self._events(), 0, 100)
+        positions, colors = out  # open3d absent in this env
+        assert positions.shape == (5, 3)
+        on_color = np.asarray([30, 30, 220]) / 255.0
+        np.testing.assert_allclose(colors[0], on_color)
+
+    def test_video_roundtrip(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from event3dgs_tpu.events.display import (
+            generate_comparison_video, generate_event_video,
+        )
+
+        ev = self._events()
+        v1 = generate_event_video(
+            ev, 0, 60, dt=30, video_name=str(tmp_path / "a.avi"),
+            width=64, height=32,
+        )
+        v2 = generate_event_video(
+            ev, 0, 60, dt=30, video_name=str(tmp_path / "b.avi"),
+            width=64, height=32,
+        )
+        cap = cv2.VideoCapture(v1)
+        assert cap.isOpened() and int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
+        cap.release()
+        grid = generate_comparison_video(
+            {"ours": v1, "reference": v2}, str(tmp_path / "grid.avi"),
+            tile=(64, 32),
+        )
+        cap = cv2.VideoCapture(grid)
+        ok, frame = cap.read()
+        assert ok and frame.shape == (32, 128, 3)
+        cap.release()
