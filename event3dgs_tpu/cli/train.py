@@ -52,6 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
     # GUI server (reference network_gui; `--port -1` disables)
     p.add_argument("--ip", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=-1)
+    # multi-chip mesh (parallel/): views batch over `data`, Gaussian storage
+    # shards over `gauss`; 0 = single-device loop.  Multi-host jobs also
+    # pass --coordinator/--num_processes/--process_id (jax.distributed).
+    p.add_argument("--mesh_data", type=int, default=0)
+    p.add_argument("--mesh_gauss", type=int, default=0)
+    p.add_argument("--coordinator", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -60,6 +68,20 @@ def main(argv=None):
     if not args.source_path:
         print("error: --source_path/-s is required", file=sys.stderr)
         return 2
+    if args.coordinator is not None:
+        # must run before any other JAX call (parallel/distributed.py)
+        from event3dgs_tpu.parallel.distributed import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+    # Claim the accelerator BEFORE the (potentially minutes-long) dataset
+    # load: remote-attached TPU runtimes (e.g. tunneled single-chip dev
+    # environments) can drop a freshly initialized backend whose first real
+    # device op arrives long after startup.  A no-op claim is free locally.
+    import jax.numpy as _jnp
+
+    float(_jnp.zeros((1,)).sum())
+
     cfg = config_from_args(args)
     cfg.save_iterations = tuple(
         sorted(set(args.save_iterations) | {cfg.optimization.iterations})
@@ -133,7 +155,20 @@ def main(argv=None):
     if gui is not None:
         callbacks = gui.wrap_callbacks(callbacks)
 
-    result = train_loop(state, data, cfg, mode, extent, callbacks=callbacks)
+    use_mesh = args.mesh_data > 1 or args.mesh_gauss > 1
+    if use_mesh:
+        from event3dgs_tpu.parallel import make_mesh
+        from event3dgs_tpu.train.loop_sharded import train_loop_sharded
+
+        mesh = make_mesh(
+            data=args.mesh_data or None, gauss=args.mesh_gauss or None
+        )
+        print(f"mesh: data={mesh.shape['data']} gauss={mesh.shape['gauss']}")
+        result = train_loop_sharded(
+            state, data, cfg, mode, extent, mesh, callbacks=callbacks
+        )
+    else:
+        result = train_loop(state, data, cfg, mode, extent, callbacks=callbacks)
     print(
         f"\nTraining complete: {len(result.history)} iterations in "
         f"{result.wall_time:.1f}s "

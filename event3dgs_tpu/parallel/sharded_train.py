@@ -152,11 +152,14 @@ def make_sharded_train_step(
     def body(state, data, idx_main, idx_now, idx_next, bg):
         # Local view: params/opt/stats are this rank's gauss shard
         # [C/gauss, ...]; idx arrays are this rank's views [B_local].
-        step = state.step + 1
-        deg = active_sh_degree(step, max_sh_degree)
-        cmask = sh_coeff_mask(deg, (max_sh_degree + 1) ** 2)
         b_local = idx_main.shape[0]
         b_global = b_local * data_size
+        # state.step counts REFERENCE iterations (= views consumed), so the
+        # lr/SH schedules calibrated on the reference's one-view loop
+        # transfer unchanged; one batched step = B reference iterations.
+        step = state.step + b_global
+        deg = active_sh_degree(step, max_sh_degree)
+        cmask = sh_coeff_mask(deg, (max_sh_degree + 1) ** 2)
         cap_local = state.params.xyz.shape[0]
 
         def render_p(act, features, cam, tap):

@@ -78,5 +78,6 @@ new_state, metrics = step(state, data, idx, idx, idx, np.zeros(3))
 jax.block_until_ready(new_state.params.xyz)
 loss = float(metrics["loss"])
 assert np.isfinite(loss)
-assert int(new_state.step) == 1
+# step counts reference iterations (views consumed): one batched step = B
+assert int(new_state.step) == 2 * nproc
 print(f"WORKER_RESULT {pid} loss={loss:.8f}", flush=True)

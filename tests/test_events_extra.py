@@ -273,3 +273,62 @@ class TestEventViz:
         ok, frame = cap.read()
         assert ok and frame.shape == (32, 128, 3)
         cap.release()
+
+
+class TestExampleDrivers:
+    """The parameterized example drivers (reference example_*.py ports)."""
+
+    def test_images_to_events_pipeline(self, tmp_path):
+        from event3dgs_tpu.examples.images_to_events import main as i2e
+        from event3dgs_tpu.utils.image_io import save_image
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0.2, 0.8, (16, 16, 3)).astype(np.float32)
+        for i in range(4):
+            save_image(str(img_dir / f"f_{i:03d}.png"),
+                       np.clip(base + 0.08 * i, 0, 1))
+        out = tmp_path / "out"
+        assert i2e(["--images", str(img_dir), "-o", str(out),
+                    "--dt", "500", "--th_noise", "0"]) == 0
+        assert (out / "raw.dat").exists()
+        assert len(list((out / "frames").glob("*.png"))) >= 1
+
+    def test_noise_calibration_synthesize_and_average(self, tmp_path):
+        from event3dgs_tpu.examples.noise_calibration import (
+            CANDIDATE_RATES, main as nc,
+        )
+
+        a, b = tmp_path / "a.npy", tmp_path / "b.npy"
+        out = tmp_path / "avg.npy"
+        assert nc(["--synthesize", "0.5", "-o", str(a)]) == 0
+        assert nc(["--synthesize", "2.0", "-o", str(b)]) == 0
+        assert nc(["--inputs", str(a), str(b), "-o", str(out)]) == 0
+        avg = np.load(out)
+        assert avg.shape == (1, CANDIDATE_RATES.size)
+        assert avg.max() == 1.0 and 0.5 in avg  # step CDFs averaged
+
+    def test_compare_streams_self_zero(self, tmp_path):
+        import json
+
+        from event3dgs_tpu.events.io import write_dat_events
+        from event3dgs_tpu.examples.compare_streams import main as cmp
+
+        rng = np.random.default_rng(1)
+        n = 400
+        t = np.sort(rng.integers(0, 50_000, n)).astype(np.uint64)
+        x = rng.integers(0, 32, n).astype(np.uint16)
+        y = rng.integers(0, 24, n).astype(np.uint16)
+        p = rng.integers(0, 2, n).astype(np.uint8)
+        dat = tmp_path / "s.dat"
+        write_dat_events(str(dat), t, x, y, p)
+        out = tmp_path / "cmp"
+        assert cmp(["--real", str(dat), "--sim", str(dat),
+                    "--sim_format", "dat", "-o", str(out),
+                    "--delta_t", "60000"]) == 0
+        rep = json.loads((out / "comparison.json").read_text())
+        assert rep["chamfer"] == 0.0
+        # shifting the stream must strictly grow the distance
+        biases = [r[1] for r in rep["bias_sweep"]]
+        assert biases[0] == 0.0 and biases[-1] > biases[1] > 0.0

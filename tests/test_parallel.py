@@ -214,7 +214,8 @@ class TestShardedStep:
         idx = jnp.arange(b, dtype=jnp.int32) + 1
         new_state, metrics = step(state, data, idx, idx, idx + 1, jnp.zeros(3))
         assert np.isfinite(float(metrics["loss"]))
-        assert int(new_state.step) == 1
+        # step counts reference iterations: one batched step = B views
+        assert int(new_state.step) == b
         # the parameter sharding survived the update
         shard_shapes = {
             s.data.shape for s in new_state.params.xyz.addressable_shards
@@ -300,3 +301,43 @@ class TestShardedStep:
             np.asarray(s2.stats.max_radii2d),
             np.asarray(s1.stats.max_radii2d), atol=1e-4,
         )
+
+
+class TestShardedLoop:
+    def test_sharded_loop_trains_and_densifies(self, scene):
+        """train_loop_sharded on the 8-device mesh: loss decreases, a
+        densify crossing fires (host round-trip + repartition + re-shard),
+        and the final state is host-usable."""
+        from event3dgs_tpu.train import train_loop_sharded
+        from event3dgs_tpu.train.loop import TrainCallbacks
+        from event3dgs_tpu.utils.config import TrainConfig
+
+        state = build_state(scene, capacity=64)
+        data = SceneData(cameras=scene.cameras, images=scene.images,
+                         event_cameras=scene.cameras,
+                         event_images=scene.images)
+        cfg = TrainConfig()
+        cfg.pipeline.rasterizer = "tiled"
+        cfg.optimization.densify_from_iter = 4
+        cfg.optimization.densification_interval = 8
+        cfg.optimization.densify_grad_threshold = 1e-5
+        mesh = make_mesh(8, gauss=2)
+        seen = []
+        cb = TrainCallbacks(
+            on_metrics=lambda it, m: seen.append((it, m)), log_every=4,
+        )
+
+        # fixed view batch -> loss decrease is deterministic, not
+        # sampling noise
+        fixed = jnp.asarray([2, 3, 4, 5], jnp.int32)
+        res = train_loop_sharded(
+            state, data, cfg, "event", scene.extent, mesh,
+            iterations=24, callbacks=cb,
+            view_batch_fn=lambda it: (fixed, fixed, fixed + 1),
+        )
+        assert len(res.history) == 6  # 24 views / B=4 per step
+        assert np.isfinite(res.history).all()
+        assert res.history[-1] < res.history[0]
+        assert int(res.state.step) == 24
+        # densify fired and alive stayed sane
+        assert int(res.state.params.alive.sum()) >= 40
