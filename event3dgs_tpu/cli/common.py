@@ -210,6 +210,16 @@ def prepare_output_dir(cfg: TrainConfig, info) -> str:
     return model_path
 
 
+def claim_accelerator() -> None:
+    """Touch the accelerator before long host-side work (dataset loads).
+
+    Remote-attached TPU runtimes (tunneled single-chip dev environments)
+    can drop a freshly initialized backend whose first real device op
+    arrives minutes after startup; a no-op claim is free locally.
+    """
+    float(jnp.zeros((1,)).sum())
+
+
 def load_run_config(model_path: str) -> TrainConfig:
     """Re-load a run's persisted config (replaces the reference's
     `get_combined_args` eval() of cfg_args)."""

@@ -45,6 +45,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from event3dgs_tpu.cli.common import claim_accelerator
+
+    claim_accelerator()
     cfg = load_run_config(args.model_path)
     m = cfg.model
 

@@ -14,6 +14,7 @@ import sys
 
 from event3dgs_tpu.cli.common import (
     add_event_args,
+    claim_accelerator,
     add_model_args,
     add_optimization_args,
     add_pipeline_args,
@@ -74,14 +75,7 @@ def main(argv=None):
 
         init_distributed(args.coordinator, args.num_processes,
                          args.process_id)
-    # Claim the accelerator BEFORE the (potentially minutes-long) dataset
-    # load: remote-attached TPU runtimes (e.g. tunneled single-chip dev
-    # environments) can drop a freshly initialized backend whose first real
-    # device op arrives long after startup.  A no-op claim is free locally.
-    import jax.numpy as _jnp
-
-    float(_jnp.zeros((1,)).sum())
-
+    claim_accelerator()  # before the (minutes-long) dataset load
     cfg = config_from_args(args)
     cfg.save_iterations = tuple(
         sorted(set(args.save_iterations) | {cfg.optimization.iterations})

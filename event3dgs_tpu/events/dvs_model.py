@@ -38,6 +38,23 @@ from event3dgs_tpu.events.buffer import EventBuffer
 _U64_MAX = np.iinfo(np.uint64).max
 
 
+def default_noise_hists(level: str = "low_light"):
+    """Shipped default background-noise CDF histograms (pos, neg).
+
+    Synthesized equivalents of the reference's measured IEBCS noise data
+    (`data/noise/README.md`); ``level`` is "low_light" or "bright".
+    """
+    import os
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "noise",
+    )
+    pos = np.load(os.path.join(base, f"noise_pos_{level}.npy"))
+    neg = np.load(os.path.join(base, f"noise_neg_{level}.npy"))
+    return pos, neg
+
+
 @dataclass
 class DvsParams:
     """Sensor parameters (defaults = the reference render pipeline's,

@@ -94,18 +94,45 @@ def synthesize_scene(
         make_camera(r, t, fov_x, fov_y, width, height) for r, t in poses
     ]
 
-    for sub in ("sparse/0", "images", "images_event", "renders"):
+    for sub in ("sparse/0", "images", "images_event", "renders",
+                "images_blurry"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
     bg = jnp.zeros(3)
+    rendered = []
     for i, cam in enumerate(cams):
         img = np.clip(np.array(
             render(means, feats, opac_j, scales_j, quats_j, cam, bg,
                    sh_degree=0).image
         ), 0.0, 1.0)
+        rendered.append(img)
         name = f"r_{i:05d}.png"
         for folder in ("images", "images_event", "renders"):
             save_image(os.path.join(out_dir, folder, name), img)
+
+    # blurry captures for the deblur mode (BASELINE config 3): synthetic
+    # motion blur over the shutter = mean of interpolated-pose renders,
+    # the same construction the reference's blur synthesis uses (18-step
+    # interpolation, `render.py`); a 6-step shutter suffices here.
+    from event3dgs_tpu.tools.render_products import slerp_pose
+
+    blur_steps = 6
+    for i in range(n_views):
+        r0, t0 = poses[i]
+        r1, t1 = poses[(i + 1) % n_views]
+        acc = np.zeros_like(rendered[0])
+        for s in range(blur_steps):
+            alpha = s / blur_steps
+            r, t = slerp_pose(r0, t0, r1, t1, alpha)
+            cam = make_camera(r, t, fov_x, fov_y, width, height)
+            acc += np.clip(np.array(
+                render(means, feats, opac_j, scales_j, quats_j, cam, bg,
+                       sh_degree=0).image
+            ), 0.0, 1.0)
+        save_image(
+            os.path.join(out_dir, "images_blurry", f"r_{i:05d}.png"),
+            acc / blur_steps,
+        )
 
     # COLMAP model: shared PINHOLE intrinsics, per-view extrinsics.  The
     # loader stores R = qvec2rotmat(qvec).T and our orbit cameras carry

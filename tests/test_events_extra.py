@@ -332,3 +332,14 @@ class TestExampleDrivers:
         # shifting the stream must strictly grow the distance
         biases = [r[1] for r in rep["bias_sweep"]]
         assert biases[0] == 0.0 and biases[-1] > biases[1] > 0.0
+
+
+def test_default_noise_hists_drive_simulator():
+    from event3dgs_tpu.events.dvs_model import DvsSimulator, default_noise_hists
+
+    pos, neg = default_noise_hists("low_light")
+    assert pos.shape == (256, 72) and neg.shape == (256, 72)
+    assert np.all(np.diff(pos, axis=1) >= -1e-6)  # valid CDFs
+    sim = DvsSimulator(8, 8, seed=0)
+    sim.init_noise(pos, neg)
+    assert np.isfinite(sim.bgn_pos_next).any()  # noise schedule armed

@@ -143,3 +143,32 @@ class TestTrainLoop:
                             extent=scene.extent, iterations=60)
         n1 = int(num_alive(result.state.params))
         assert n1 > n0, (n0, n1)
+
+
+class TestDeblurSlice:
+    def test_event_deblur_slice_trains(self, scene):
+        """BASELINE config 3 shape: event loss + L1 against blurry
+        captures (`/root/reference/train.py:197-203`).  Blurry GT is a
+        3-view moving average of the sharp renders."""
+        import jax.numpy as jnp
+
+        state = build_state(scene)
+        imgs = np.asarray(scene.images)
+        blurry = (np.roll(imgs, 1, axis=0) + imgs + np.roll(imgs, -1, axis=0)) / 3.0
+        data = SceneData(
+            cameras=scene.cameras,
+            images=scene.images,
+            event_cameras=scene.cameras,
+            event_images=scene.images,
+            blurry_images=jnp.asarray(blurry, jnp.float32),
+        )
+        cfg = TrainConfig(
+            optimization=OptimizationConfig(
+                densify_from_iter=1000, densify_until_iter=0,
+            )
+        )
+        result = train_loop(state, data, cfg, mode="event_deblur",
+                            extent=scene.extent, iterations=60)
+        head = np.mean(result.history[:10])
+        tail = np.mean(result.history[-10:])
+        assert tail < head, (head, tail)
