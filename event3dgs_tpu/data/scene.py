@@ -256,10 +256,21 @@ def build_camera_batch(infos: list, resolution: int = -1) -> Camera:
 def load_images_array(
     infos: list, resolution: int = -1, white_background=False
 ) -> np.ndarray:
+    """Load + resize a camera set's images as one [V, H, W, 3] array.
+
+    Decoding is threaded (PIL releases the GIL in decode/resize): a few
+    hundred PNGs load in seconds instead of the minute-plus that a serial
+    loop costs, which also shrinks the host-idle window between accelerator
+    claim and first device step."""
+    from concurrent.futures import ThreadPoolExecutor
+
     w, h = resolve_resolution(infos[0].width, infos[0].height, resolution)
-    return np.stack(
-        [load_image(ci.image_path, (w, h), white_background) for ci in infos]
-    )
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        imgs = list(pool.map(
+            lambda ci: load_image(ci.image_path, (w, h), white_background),
+            infos,
+        ))
+    return np.stack(imgs)
 
 
 def camera_to_json(idx: int, ci: CameraInfo) -> dict:

@@ -160,5 +160,9 @@ def _composite_all(
         opa.reshape(total // chunk, chunk),
         radius.reshape(total // chunk, chunk),
     )
-    (rgb, T), _ = jax.lax.scan(composite_chunk, init, xs)
+    # remat per chunk: without it the scan saves every step's [P, chunk]
+    # intermediates for backward — hundreds of GB at 400×400 with a few
+    # thousand Gaussians.  Recomputing the chunk in the bwd pass keeps the
+    # oracle's gradient memory at O(P·chunk).
+    (rgb, T), _ = jax.lax.scan(jax.checkpoint(composite_chunk), init, xs)
     return rgb, T

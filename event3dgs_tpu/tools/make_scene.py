@@ -46,6 +46,8 @@ def synthesize_scene(
     seed: int = 0,
     init_noise: float = 0.05,
     arc: float = 2.0 * np.pi,
+    white_background: bool = False,
+    blur_steps: int = 0,
 ) -> dict:
     import jax.numpy as jnp
 
@@ -98,7 +100,9 @@ def synthesize_scene(
                 "images_blurry"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
-    bg = jnp.zeros(3)
+    # white background keeps the event loss's log-intensity differences
+    # bounded (a black background makes log(I+eps) singular at silhouettes)
+    bg = jnp.ones(3) if white_background else jnp.zeros(3)
     rendered = []
     for i, cam in enumerate(cams):
         img = np.clip(np.array(
@@ -113,11 +117,12 @@ def synthesize_scene(
     # blurry captures for the deblur mode (BASELINE config 3): synthetic
     # motion blur over the shutter = mean of interpolated-pose renders,
     # the same construction the reference's blur synthesis uses (18-step
-    # interpolation, `render.py`); a 6-step shutter suffices here.
+    # interpolation, `render.py`).  Off by default: it multiplies the
+    # oracle render count by blur_steps; pass --blur_steps 6 when the
+    # deblur recipe needs the folder.
     from event3dgs_tpu.tools.render_products import slerp_pose
 
-    blur_steps = 6
-    for i in range(n_views):
+    for i in range(n_views if blur_steps > 0 else 0):
         r0, t0 = poses[i]
         r1, t1 = poses[(i + 1) % n_views]
         acc = np.zeros_like(rendered[0])
@@ -181,10 +186,13 @@ def main(argv=None):
     p.add_argument("--gaussians", type=int, default=400)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--init_noise", type=float, default=0.05)
+    p.add_argument("--white_background", "-w", action="store_true")
+    p.add_argument("--blur_steps", type=int, default=0)
     args = p.parse_args(argv)
     meta = synthesize_scene(
         args.output, args.views, args.width, args.height, args.gaussians,
-        args.seed, args.init_noise,
+        args.seed, args.init_noise, white_background=args.white_background,
+        blur_steps=args.blur_steps,
     )
     print(f"wrote {meta['n_views']}-view scene to {args.output}")
     return 0
