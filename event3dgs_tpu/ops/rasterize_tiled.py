@@ -72,6 +72,11 @@ from event3dgs_tpu.ops.segscan import segment_sums_from_ranges
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 
+# chunk=256 measured ~2-3% SLOWER fwd+bwd than 128 at 1080p/100k gaussians
+# once measurement order is randomized (experiments/tools_exp_chunk.py with
+# REV=1; a naive single-order sweep shows a spurious 23% from first-config
+# warm-up under the TPU relay).  The knee is at 128: the 4×-larger
+# (chunk, chunk) segmented-scan masks outweigh the halved per-step costs.
 DEFAULT_CHUNK = 128
 
 # packed-slab attribute rows (see ops/binning.py pack_instances)

@@ -46,7 +46,9 @@ def main():
 
     icap = suggest_instance_cap(int(_count(means, scales, rots, opac)))
 
-    for chunk in (128, 256):
+    import os
+    order = (256, 128, 256, 128) if os.environ.get('REV') else (128, 256)
+    for chunk in order:
         @jax.jit
         def fwd(m, s, r, o, c, eps, chunk=chunk):
             p = project_gaussians(m + eps, s, r, cam, opacities=o)
