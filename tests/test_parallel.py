@@ -341,3 +341,64 @@ class TestShardedLoop:
         assert int(res.state.step) == 24
         # densify fired and alive stayed sane
         assert int(res.state.params.alive.sum()) >= 40
+
+
+class TestFourWayShards:
+    def test_gauss4_render_grads_match(self):
+        """4-way depth-layered shards: merge + grads still exact."""
+        rng = np.random.default_rng(11)
+        layers = [
+            np.c_[rng.uniform(-0.6, 0.6, 10), rng.uniform(-0.4, 0.4, 10),
+                  rng.uniform(z0, z0 + 0.4, 10)]
+            for z0 in (-1.6, -0.6, 0.4, 1.4)
+        ]
+        points = np.concatenate(layers, axis=0)
+        colors = rng.uniform(0.1, 1.0, (40, 3))
+        cams = orbit_cameras(4, radius=4.0, width=64, img_height=32, arc=0.2)
+        cameras = stack_cameras(cams)
+        gt = jnp.asarray(rng.uniform(0, 1, (32, 64, 3)), jnp.float32)
+
+        params = init_from_point_cloud(points, colors, capacity=64)
+        state = init_train_state(params, spatial_lr_scale=3.0)
+        state = repartition_by_depth(state, cameras, 4)
+        params = state.params
+        mesh = make_mesh(8, gauss=4)
+        bg = jnp.asarray([0.3, 0.3, 0.3])
+        cam0 = jax.tree.map(lambda x: x[0], cameras)
+        tree = trainable_dict(params)
+
+        def loss_u(tree):
+            act = activated(with_trainable(params, tree))
+            out = render(
+                act.means3d, act.features, act.opacities, act.scales,
+                act.rotations, cam0, bg, sh_degree=3, rasterizer="tiled",
+            )
+            return jnp.mean((out.image - gt) ** 2)
+
+        lu, gu = jax.value_and_grad(loss_u)(tree)
+
+        spec = jax.tree.map(lambda _: P(GAUSS_AXIS), tree)
+
+        @partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(spec, P(GAUSS_AXIS)), out_specs=P(),
+        )
+        def loss_s(tree, alive):
+            local = GaussianParams(alive=alive, **tree)
+            act = activated(local)
+            pr = render_partials(
+                act.means3d, act.features, act.opacities, act.scales,
+                act.rotations, cam0, sh_degree=3, rasterizer="tiled",
+            )
+            img = merge_depth_partials(pr.rgb, pr.logt, bg, GAUSS_AXIS, 4)
+            return jnp.mean((img - gt) ** 2)[None]
+
+        ls, gs = jax.value_and_grad(
+            lambda t: loss_s(t, params.alive)[0]
+        )(tree)
+        assert float(lu) == pytest.approx(float(ls), rel=1e-5)
+        for k in gu:
+            np.testing.assert_allclose(
+                np.asarray(gs[k]), np.asarray(gu[k]), atol=2e-5,
+                err_msg=f"grad mismatch in {k}",
+            )
