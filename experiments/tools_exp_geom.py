@@ -1,5 +1,8 @@
 import os, time, sys
 import numpy as np
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax, jax.numpy as jnp
 from event3dgs_tpu.core import make_camera
 from event3dgs_tpu.ops.projection import project_gaussians

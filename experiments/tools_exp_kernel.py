@@ -7,6 +7,9 @@ timing, scalar outputs consumed via .sum()).
 """
 import os, time
 import numpy as np
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

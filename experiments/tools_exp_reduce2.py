@@ -2,6 +2,9 @@
 """Reduce-chain experiments with honest (Pallas-consumed) timing."""
 import os, time
 import numpy as np
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax, jax.numpy as jnp
 
 from event3dgs_tpu.core import make_camera

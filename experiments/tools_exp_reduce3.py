@@ -2,6 +2,9 @@
 """Split the current (instance-major) reduce chain into stages."""
 import time
 import numpy as np
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 

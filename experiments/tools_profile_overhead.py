@@ -1,4 +1,7 @@
 import time
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax, jax.numpy as jnp
 
 @jax.jit

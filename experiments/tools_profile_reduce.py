@@ -4,6 +4,9 @@ import os
 import time
 
 import numpy as np
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax
 import jax.numpy as jnp
 

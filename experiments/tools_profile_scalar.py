@@ -1,5 +1,8 @@
 import os, time
 import numpy as np
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

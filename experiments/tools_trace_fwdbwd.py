@@ -1,5 +1,8 @@
 import os, time, glob, gzip, json
 import numpy as np, jax, jax.numpy as jnp
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 from event3dgs_tpu.core import make_camera
 from event3dgs_tpu.ops.projection import project_gaussians
 from event3dgs_tpu.ops.rasterize_tiled import rasterize_tiled

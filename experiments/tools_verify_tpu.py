@@ -7,6 +7,9 @@ rendered image and every parameter gradient allclose against
 """
 import sys
 import numpy as np
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax, jax.numpy as jnp
 
 from event3dgs_tpu.core import make_camera
