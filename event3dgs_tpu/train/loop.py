@@ -36,11 +36,12 @@ TEST_VIEW_INDICES = (5, 25, 45, 65, 85)
 
 @dataclass
 class TrainCallbacks:
-    """Hooks invoked from the loop (logging, saving, eval)."""
+    """Hooks invoked from the loop (logging, saving, eval, GUI)."""
 
     on_metrics: Optional[Callable] = None  # (iteration, metrics dict)
     on_save: Optional[Callable] = None  # (iteration, state)
     on_checkpoint: Optional[Callable] = None  # (iteration, state)
+    on_tick: Optional[Callable] = None  # (iteration, live state), log_every
     log_every: int = 10
 
 
@@ -198,8 +199,11 @@ def train_loop(
             iter_bg,
         )
 
-        if callbacks.on_metrics and it % callbacks.log_every == 0:
-            callbacks.on_metrics(it, jax.device_get(metrics))
+        if it % callbacks.log_every == 0:
+            if callbacks.on_metrics:
+                callbacks.on_metrics(it, jax.device_get(metrics))
+            if callbacks.on_tick:
+                callbacks.on_tick(it, state)
         history.append(float(metrics["loss"]))
 
         # Densification (`train.py:316-327`), with capacity growth: when

@@ -143,8 +143,11 @@ def train_loop_sharded(
                                  iter_bg)
         prev, it = it, it + b
 
-        if callbacks.on_metrics and _crossed(prev, it, callbacks.log_every):
-            callbacks.on_metrics(it, jax.device_get(metrics))
+        if _crossed(prev, it, callbacks.log_every):
+            if callbacks.on_metrics:
+                callbacks.on_metrics(it, jax.device_get(metrics))
+            if callbacks.on_tick:
+                callbacks.on_tick(it, unshard_state(state))
         history.append(float(metrics["loss"]))
 
         if it < opt.densify_until_iter:

@@ -131,14 +131,22 @@ class NetworkGui:
         return np.asarray(img * 255.0, np.uint8).tobytes()
 
     def wrap_callbacks(self, callbacks):
-        """Chain GUI polling onto the loop's metric callback."""
-        prev = callbacks.on_metrics
+        """Chain GUI polling onto the loop's callbacks.
 
-        def on_metrics(it, metrics):
-            if prev:
-                prev(it, metrics)
+        The reference polls the socket every iteration (`train.py:76-93`);
+        here the metrics callback (every ``log_every`` iterations) services
+        the GUI — render requests stay interactive without a per-iteration
+        host sync — and saves poll too so a connected viewer refreshes at
+        checkpoints.
+        """
+        prev_tick = callbacks.on_tick
 
-        callbacks.on_metrics = on_metrics
+        def on_tick(it, state):
+            self.poll(state)
+            if prev_tick:
+                prev_tick(it, state)
+
+        callbacks.on_tick = on_tick
         prev_save = callbacks.on_save
 
         def on_save(it, state):
