@@ -153,11 +153,15 @@ def save_gaussian_ply(path: str, params) -> None:
         fields[k] = xyz[:, i]
     for k in ("nx", "ny", "nz"):
         fields[k] = np.zeros(n, np.float32)
-    # channel-major flatten, matching the reference's transpose(1, 2)
-    dc_t = f_dc.transpose(0, 2, 1).reshape(n, -1)
+    # channel-major flatten, matching the reference's transpose(1, 2);
+    # explicit column counts so an empty (collapsed) model still writes a
+    # schema-complete header instead of crashing on reshape(0, -1)
+    dc_t = f_dc.transpose(0, 2, 1).reshape(n, f_dc.shape[1] * f_dc.shape[2])
     for i in range(dc_t.shape[1]):
         fields[f"f_dc_{i}"] = dc_t[:, i]
-    rest_t = f_rest.transpose(0, 2, 1).reshape(n, -1)
+    rest_t = f_rest.transpose(0, 2, 1).reshape(
+        n, f_rest.shape[1] * f_rest.shape[2]
+    )
     for i in range(rest_t.shape[1]):
         fields[f"f_rest_{i}"] = rest_t[:, i]
     fields["opacity"] = opacity[:, 0]

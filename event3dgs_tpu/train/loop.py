@@ -220,6 +220,18 @@ def train_loop(
                     callbacks.on_metrics(
                         it, {"capacity": state.params.capacity}
                     )
+                n_alive = int(state.params.alive.sum())
+                if n_alive < 16:
+                    import warnings
+
+                    warnings.warn(
+                        f"model nearly dead after densify at iter {it}: "
+                        f"{n_alive} alive gaussians. Common causes: the "
+                        "reference's hardcoded 20px screen-size prune vs "
+                        "large splats, or an opacity collapse (see "
+                        "RESULTS_r3.json failure analysis).",
+                        stacklevel=2,
+                    )
                 # instance budget: re-measure after the scene changed; grow
                 # the cap (rebuild = one re-jit) before the binning path
                 # would overflow and silently drop instances

@@ -229,3 +229,21 @@ def _recv_exact(sock, n):
             raise ConnectionError("server closed")
         buf += chunk
     return buf
+
+
+def test_empty_model_ply_roundtrip(tmp_path):
+    """A fully-pruned (0-alive) model must save/load without crashing
+    (regression: reshape(0, -1) in the PLY writer)."""
+    import jax.numpy as jnp
+
+    from event3dgs_tpu.data.ply import load_gaussian_ply, save_gaussian_ply
+    from event3dgs_tpu.models import init_from_point_cloud
+
+    params = init_from_point_cloud(
+        np.zeros((4, 3)), np.zeros((4, 3)), capacity=8
+    )
+    params = params.replace(alive=jnp.zeros(8, bool))
+    path = str(tmp_path / "empty.ply")
+    save_gaussian_ply(path, params)
+    loaded = load_gaussian_ply(path)
+    assert int(loaded.alive.sum()) == 0
