@@ -118,3 +118,11 @@ def ssim(
 def ssim_gray(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """SSIM on grayscale conversions (`loss_utils.py:368-385`)."""
     return ssim(rgb_to_grayscale(img1), rgb_to_grayscale(img2), window_size)
+
+
+def rgb_to_qe_scale(img: jnp.ndarray) -> jnp.ndarray:
+    """Quantum-efficiency-weighted gray conversion (reference
+    `rgb_to_QEscale`, `loss_utils.py:29-33`): XYZ-X-row weights
+    0.4124/0.35758/0.1804, channel-last in, [..., H, W, 1] out."""
+    w = jnp.asarray([0.4124, 0.35758, 0.1804], img.dtype)
+    return jnp.sum(img * w, axis=-1, keepdims=True)

@@ -255,3 +255,36 @@ def chamfer_event_loss(
 
     losses = jax.vmap(per_sub)(d_sub, g_sub)
     return jnp.mean(losses)
+
+
+def filtered_event_l1(network_output, gt) -> jnp.ndarray:
+    """Neighborhood-tolerant event L1 (reference `l1_filter_loss_gray_event`,
+    `loss_utils.py:79-100`): absolute grayscale difference box-filtered over
+    a 1×2 window (÷2), then averaged — tolerates 1-pixel event-location
+    jitter between simulated and ground-truth event frames."""
+    from event3dgs_tpu.losses.basic import rgb_to_grayscale
+
+    if network_output.shape[-1] == 3:
+        network_output = rgb_to_grayscale(network_output)
+    if gt.shape[-1] == 3:
+        gt = rgb_to_grayscale(gt)
+    abs_diff = jnp.abs(network_output - gt)[..., 0]
+    # 1x2 ones kernel, stride 1 (the reference's conv2d(kernel=[1,1,1,2])/2)
+    padded = jnp.pad(abs_diff, ((0, 0), (0, 1)))
+    filt = (padded[:, :-1] + padded[:, 1:]) / 2.0
+    return jnp.mean(filt)
+
+
+def soft_threshold(x, contrast: float = 0.3, width: float = 10.0):
+    """Differentiable event-threshold gate (reference
+    `differentialable_threld`, `loss_utils.py:231-232`):
+    ``sign(x)·sigmoid(w·(|x| − C))`` — a smooth version of the hard DVS
+    contrast threshold, usable inside losses."""
+    return jnp.sign(x) / (1.0 + jnp.exp(width * (contrast - jnp.abs(x))))
+
+
+def normalize_image(image) -> jnp.ndarray:
+    """Min-max normalize to [0, 1] (reference `normalize_image`,
+    `loss_utils.py:34-39`)."""
+    lo, hi = jnp.min(image), jnp.max(image)
+    return (image - lo) / jnp.maximum(hi - lo, 1e-12)

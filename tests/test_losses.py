@@ -172,3 +172,38 @@ class TestModeLosses:
         a, b = rand_img(), rand_img(seed=2)
         loss, aux = gray_total_loss(a, b, 0.0)
         assert float(loss) == pytest.approx(float(aux["l1"]))
+
+
+class TestExperimentalLossTail:
+    def test_filtered_event_l1_tolerates_one_pixel_shift(self):
+        from event3dgs_tpu.losses.event import filtered_event_l1
+
+        a = jnp.zeros((8, 8, 1)).at[4, 4, 0].set(1.0)
+        b_same = a
+        b_shift = jnp.zeros((8, 8, 1)).at[4, 5, 0].set(1.0)
+        exact = float(filtered_event_l1(a, b_same))
+        shifted = float(filtered_event_l1(a, b_shift))
+        plain_l1 = float(jnp.mean(jnp.abs(a - b_shift)))
+        assert exact == 0.0
+        # the 1x2 box filter halves the penalty of a one-pixel shift
+        assert shifted < 2 * plain_l1
+
+    def test_soft_threshold_gates_small_values(self):
+        from event3dgs_tpu.losses.event import soft_threshold
+
+        out = soft_threshold(jnp.asarray([0.0, 0.1, 0.5, -0.5]), 0.3, 10.0)
+        assert abs(float(out[1])) < 0.15    # below threshold -> suppressed
+        assert float(out[2]) > 0.85         # above -> passes with sign
+        assert float(out[3]) < -0.85
+
+    def test_qe_scale_and_normalize(self):
+        from event3dgs_tpu.losses.basic import rgb_to_qe_scale
+        from event3dgs_tpu.losses.event import normalize_image
+
+        img = jnp.ones((4, 4, 3)) * jnp.asarray([1.0, 0.5, 0.25])
+        qe = rgb_to_qe_scale(img)
+        assert qe.shape == (4, 4, 1)
+        expected = 0.4124 + 0.35758 * 0.5 + 0.1804 * 0.25
+        assert float(qe[0, 0, 0]) == pytest.approx(expected)
+        n = normalize_image(jnp.asarray([2.0, 4.0, 6.0]))
+        np.testing.assert_allclose(np.asarray(n), [0.0, 0.5, 1.0])
