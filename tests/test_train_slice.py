@@ -172,3 +172,42 @@ class TestDeblurSlice:
         head = np.mean(result.history[:10])
         tail = np.mean(result.history[-10:])
         assert tail < head, (head, tail)
+
+
+class TestBaselineConfig1:
+    def test_config1_end_to_end_smoke(self, tmp_path):
+        """BASELINE config 1: a synthesized train_colmap_easy-style scene
+        trained CPU-side through the real CLI stack (scene gen → train with
+        densification → holdout eval) must clear a PSNR bar.  Small
+        resolution keeps it test-sized; the 400×400/8000-iter version of
+        the same pipeline is RESULTS_r3.json."""
+        import jax.numpy as jnp
+
+        from event3dgs_tpu.cli.common import load_scene_and_state
+        from event3dgs_tpu.tools.evaluation import evaluate_holdout
+        from event3dgs_tpu.tools.make_scene import synthesize_scene
+        from event3dgs_tpu.train.loop import train_loop
+        from event3dgs_tpu.utils.config import TrainConfig
+
+        scene_dir = str(tmp_path / "scene")
+        synthesize_scene(scene_dir, n_views=40, width=64, height=64,
+                         n_gaussians=80, white_background=True)
+
+        cfg = TrainConfig()
+        cfg.model.source_path = scene_dir
+        cfg.model.white_background = True
+        cfg.model.gray = True
+        cfg.pipeline.rasterizer = "tiled"
+        cfg.optimization.densify_from_iter = 50
+        cfg.optimization.densification_interval = 100
+        info, data, state, extent = load_scene_and_state(cfg)
+
+        res = train_loop(state, data, cfg, "gray", extent, iterations=300)
+        assert res.history[-1] < res.history[0]
+
+        out = evaluate_holdout(
+            res.state.params, data.test_cameras, data.test_images,
+            indices=(5, 25), sh_degree=3, background=jnp.ones(3),
+            rasterizer="tiled",
+        )
+        assert out["PSNR"] > 14.0, out
