@@ -51,6 +51,12 @@ def add_pipeline_args(p: argparse.ArgumentParser):
     p.add_argument(
         "--rasterizer", type=str, default="tiled", choices=["tiled", "reference"]
     )
+    p.add_argument(
+        "--gauss_mode", type=str, default="exact",
+        choices=["exact", "partials"],
+        help="gauss-axis compositing strategy: exact per-view splat "
+             "exchange (default) or approximate image-partials merge",
+    )
 
 
 def add_optimization_args(p: argparse.ArgumentParser):
@@ -98,7 +104,10 @@ def config_from_args(args) -> TrainConfig:
             deblur=args.deblur,
             capacity=args.capacity,
         ),
-        pipeline=PipelineConfig(rasterizer=getattr(args, "rasterizer", "tiled")),
+        pipeline=PipelineConfig(
+            rasterizer=getattr(args, "rasterizer", "tiled"),
+            gauss_mode=getattr(args, "gauss_mode", "exact"),
+        ),
         optimization=OptimizationConfig(
             **{
                 f: getattr(args, f)

@@ -77,6 +77,39 @@ def save_event_result(buf: EventBuffer, out_dir: str, width=0, height=0) -> str:
     return path
 
 
+# Dataset-specific accumulation-frame layouts, mirroring the reference's
+# copy-paste `generate_images_accumu_{volt,eds,edslike,T,Tumvie}` family
+# (`Event_sensor/event_tools.py:84-160`) as data: each layout pins the
+# per-frame accumulation window as a fraction of delta_t, the output
+# subdirectory, and the filename pattern (including the reference's index
+# offsets and double-extension quirks, preserved for drop-in parity with
+# downstream tooling that globs these names).
+#   window_frac: frame i accumulates events in [i·dt, (i+window_frac)·dt)
+#   subdir: None = write into out_dir itself; "+suffix" appends to its name
+ACCUMULATION_LAYOUTS = {
+    # generate_images_accumu (IEBCS .dat, `event_tools.py:73-83`)
+    "default": dict(window_frac=1.0, subdir=None,
+                    name=lambda i: f"{i + 2:05d}.png"),
+    # generate_images_accumu_volt (`event_tools.py:84-94`)
+    "volt": dict(window_frac=1.0, subdir="+_ac",
+                 name=lambda i: f"{i + 3:05d}.png"),
+    # generate_images_accumu_edslike (`event_tools.py:95-108`)
+    "edslike": dict(window_frac=0.1, subdir="images_simu",
+                    name=lambda i: f"frame_{i * 10:010d}.png"),
+    # generate_images_accumu_eds (`event_tools.py:109-122`)
+    "eds": dict(window_frac=0.1, subdir="images_ac",
+                name=lambda i: f"frame_{i * 10:010d}.png"),
+    # generate_images_accumu_T (`event_tools.py:134-147`; the reference
+    # formats '{:04d}.{}'.format(idx, "png.png") → "0000.png.png")
+    "T": dict(window_frac=0.1, subdir="images_ac",
+              name=lambda i: f"{i:04d}.png.png"),
+    # generate_images_accumu_Tumvie (`event_tools.py:148-160`;
+    # '{:05d}.{}'.format(idx, ".png") → "00000..png")
+    "tumvie": dict(window_frac=0.1, subdir="images_ac",
+                   name=lambda i: f"{i:05d}..png"),
+}
+
+
 def generate_event_frames(
     buf: EventBuffer,
     width: int,
@@ -84,6 +117,8 @@ def generate_event_frames(
     delta_t: int,
     out_dir: str | None = None,
     style: str = "accumulate",
+    layout: str | None = None,
+    total_frames: int | None = None,
 ):
     """Window the stream and build frames (`generate_images*`,
     `event_tools.py:66-160`).
@@ -91,23 +126,64 @@ def generate_event_frames(
     Args:
         style: "accumulate" (±10/255 around mid-gray) or "color"
             (positive→R / negative→B, decodable by `decode_event_frame`).
+        layout: optional key into :data:`ACCUMULATION_LAYOUTS` reproducing
+            the reference's dataset-specific accumulation variants
+            (window fraction + directory + filename pattern); None keeps
+            the generic full-window ``events_%05d.png`` naming.
+        total_frames: number of frames to emit (defaults to the number of
+            full windows in the stream).
 
     Returns:
         list of [H, W] or [H, W, 3] numpy frames (also saved as PNGs when
         ``out_dir`` is given).
     """
-    data = window_events(*buf.arrays(), delta_t)
-    frames = []
-    for i, w in enumerate(data.events):
-        if style == "color":
-            img = color_polarity_frame(w["x"], w["y"], w["p"], width, height)
+    ts, xs, ys, ps = buf.arrays()
+    spec = ACCUMULATION_LAYOUTS[layout] if layout else None
+    frac = spec["window_frac"] if spec else 1.0
+
+    if out_dir and spec:
+        sub = spec["subdir"]
+        if sub is None:
+            dest = out_dir
+        elif sub.startswith("+"):
+            dest = out_dir.rstrip("/\\") + sub[1:]
         else:
-            img = accumulation_frame(w["x"], w["y"], w["p"], width, height)
+            dest = os.path.join(out_dir, sub)
+    else:
+        dest = out_dir
+
+    if frac == 1.0:
+        data = window_events(ts, xs, ys, ps, delta_t)
+        windows = [(w["x"], w["y"], w["p"]) for w in data.events]
+    else:
+        # fractional windows [i·dt, (i+frac)·dt) — the EDS/T/TUM-VIE
+        # variants accumulate only the leading fraction of each interval
+        if total_frames is not None:
+            n = total_frames
+        elif len(ts):
+            n = max(int(ts[-1] // delta_t), 0)
+        else:
+            n = 0
+        windows = []
+        for i in range(n):
+            lo, hi = i * delta_t, (i + frac) * delta_t
+            m = (ts >= lo) & (ts < hi)
+            windows.append((xs[m], ys[m], ps[m]))
+    if total_frames is not None:
+        windows = windows[:total_frames]
+
+    frames = []
+    for i, (wx, wy, wp) in enumerate(windows):
+        if style == "color":
+            img = color_polarity_frame(wx, wy, wp, width, height)
+        else:
+            img = accumulation_frame(wx, wy, wp, width, height)
         img = np.asarray(img)
         frames.append(img)
-        if out_dir:
+        if dest:
             from event3dgs_tpu.utils.image_io import save_image
 
-            os.makedirs(out_dir, exist_ok=True)
-            save_image(os.path.join(out_dir, f"events_{i:05d}.png"), img)
+            os.makedirs(dest, exist_ok=True)
+            name = spec["name"](i) if spec else f"events_{i:05d}.png"
+            save_image(os.path.join(dest, name), img)
     return frames

@@ -258,10 +258,16 @@ def chamfer_event_loss(
 
 
 def filtered_event_l1(network_output, gt) -> jnp.ndarray:
-    """Neighborhood-tolerant event L1 (reference `l1_filter_loss_gray_event`,
+    """Neighborhood-tolerant event L1 (after `l1_filter_loss_gray_event`,
     `loss_utils.py:79-100`): absolute grayscale difference box-filtered over
     a 1×2 window (÷2), then averaged — tolerates 1-pixel event-location
-    jitter between simulated and ground-truth event frames."""
+    jitter between simulated and ground-truth event frames.
+
+    Border handling is intentionally cleaned up vs the reference: torch's
+    ``conv2d(kernel=(1,2), padding=1)`` there emits an (H+2, W+1) map whose
+    mean includes zero-padded border rows/columns; this version pads only
+    the one column the 1×2 window needs, so the two means differ slightly
+    for identical inputs (experimental loss, unused by any training mode)."""
     from event3dgs_tpu.losses.basic import rgb_to_grayscale
 
     if network_output.shape[-1] == 3:

@@ -43,6 +43,7 @@ class RenderPartials(NamedTuple):
     logt: jnp.ndarray  # [H, W] log final transmittance
     radii: jnp.ndarray  # [N] pixel radii (0 for culled)
     visibility: jnp.ndarray  # [N] bool, radius > 0
+    depth: jnp.ndarray  # [N] view-space z (+inf for culled)
 
 
 def gaussian_colors(
@@ -149,7 +150,8 @@ def render_partials(
         rasterizer, instance_cap,
     )
     return RenderPartials(
-        rgb=rgb, logt=logt, radii=proj.radius, visibility=proj.valid
+        rgb=rgb, logt=logt, radii=proj.radius, visibility=proj.valid,
+        depth=proj.depth,
     )
 
 

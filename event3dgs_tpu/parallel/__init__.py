@@ -5,18 +5,20 @@ TPU-native design:
 
 - mesh axes ``("data", "gauss")``: views/event-pairs shard over ``data``,
   Gaussian storage (parameters + optimizer state + densify stats) shards
-  over ``gauss``;
-- the train step runs under ``shard_map``: each gauss shard rasterizes only
-  its own Gaussians into (rgb, log T) partials with the tiled Pallas
-  rasterizer, shards merge in depth order (``compose``), and gradients
-  psum across ``data`` — per-device memory is O(N/shards), never O(N);
-- ``partition`` keeps the shard assignment depth-ordered (refreshed at
-  densification time) so the cross-shard merge is exact;
+  over ``gauss`` — per-device *state* is O(N/shards), never O(N);
+- the train step runs under ``shard_map`` with two gauss-axis compositing
+  strategies: ``exchange`` (default, exact) has shards swap per-view
+  projected splats with one all_to_all so every device rasterizes the full
+  set for its own view with the reference's global per-view depth sort;
+  ``compose``/``partition`` (opt-in) has each shard rasterize only its own
+  Gaussians into (rgb, log T) image partials merged in per-view shard rank
+  order — cheaper collectives, approximate on non-depth-separable rigs;
 - ``distributed`` bootstraps multi-host meshes via
   ``jax.distributed.initialize``.
 """
 
-from event3dgs_tpu.parallel.compose import merge_depth_partials
+from event3dgs_tpu.parallel.compose import merge_depth_partials, view_depth_ranks
+from event3dgs_tpu.parallel.exchange import render_view_exchange
 from event3dgs_tpu.parallel.mesh import make_mesh, data_sharding, gauss_sharding
 from event3dgs_tpu.parallel.partition import repartition_by_depth
 from event3dgs_tpu.parallel.sharded_train import (
@@ -32,8 +34,10 @@ __all__ = [
     "gauss_sharding",
     "make_sharded_train_step",
     "merge_depth_partials",
+    "render_view_exchange",
     "repartition_by_depth",
     "shard_train_state",
     "state_partition_specs",
     "unshard_state",
+    "view_depth_ranks",
 ]

@@ -1,23 +1,38 @@
 """Cross-shard depth-ordered compositing of (rgb, log T) render partials.
 
 The reference rasterizer composites all Gaussians on one GPU in one global
-depth order (`/root/reference/gaussian_renderer/__init__.py:38-97`).  The
-TPU-native scaling design shards the Gaussian storage over the ``gauss``
-mesh axis and has each shard composite *only its own* Gaussians into
-pre-background partials (``ops.render.render_partials``).  Because the
-rasterizer's carry is (accumulated rgb, log transmittance), the over-operator
-is associative across depth-ordered segments:
+*per-view* depth order (`/root/reference/gaussian_renderer/__init__.py:38-97`).
+The partials strategy of the TPU scaling design shards the Gaussian storage
+over the ``gauss`` mesh axis and has each shard composite *only its own*
+Gaussians into pre-background partials (``ops.render.render_partials``).
+Because the rasterizer's carry is (accumulated rgb, log transmittance), the
+over-operator is associative across depth-ordered segments:
 
-    rgb   = Σ_k exp(Σ_{j<k} logT_j) · rgb_k
+    rgb   = Σ_k exp(Σ_{j≺k} logT_j) · rgb_k
     logT  = Σ_k logT_k
     image = rgb + exp(logT) · background
 
-which is exact when shard k's Gaussians are all in front of shard k+1's
-along every camera ray.  ``parallel.partition.repartition_by_depth`` keeps
-the shard assignment depth-ordered (by a per-scene depth proxy, refreshed at
-densification time), so the merge is exact up to the (rare) cross-shard pairs
-that straddle a quantile boundary — the same order-approximation class as
-the reference's own center-depth sort.
+where ``≺`` is the shard compositing order.  This merge is exact **only**
+when shard j's Gaussians are all in front of shard k's along every camera
+ray — i.e. the shards are depth-separable for that view.  For
+forward-facing or layered rigs a depth partition
+(``parallel.partition.repartition_by_depth``) satisfies that; for
+inward-facing rigs (full orbits) **no static partition does** — shards
+interleave in depth along rays, so the merge is approximate regardless of
+order, with error concentrated on cross-shard Gaussian pairs whose screen
+footprints overlap.  Measured on a 48-Gaussian arc=2π orbit scene
+(tests/test_parallel.py::TestOrbitSharding): ~2e-2 max pixel error with a
+scene-static shard order, ~1e-2 with the per-view rank order below.  For
+exact sharded rendering on arbitrary geometry use the projected-splat
+exchange path (``parallel.exchange``), which reproduces the reference's
+global per-view sort.
+
+The compositing order is per-view: :func:`view_depth_ranks` ranks shards by
+their mean visible depth *in the current view* (one K-scalar all-gather), so
+a shard that is nearest in one view and farthest in the opposite view
+composites correctly in both — the scene-static fallback (``ranks=None``,
+shard index order) is only correct for depth-partitioned forward-facing
+rigs.
 
 Communication: one all-gather of the [H, W] log-transmittance maps (for the
 exclusive prefix) plus one psum of the weighted [H, W, 3] rgb partials — both
@@ -31,19 +46,47 @@ import jax
 import jax.numpy as jnp
 
 
+def view_depth_ranks(
+    depth: jnp.ndarray,  # [N_local] per-Gaussian view depth (+inf culled)
+    valid: jnp.ndarray,  # [N_local] bool visibility
+    axis_name: str,
+    axis_size: int,
+) -> jnp.ndarray:
+    """Per-view front-to-back rank of every shard ([K] int32, replicated).
+
+    Each shard summarises itself by the mean view-space depth of its visible
+    Gaussians (empty shards sort last); one K-scalar all-gather and an
+    argsort produce the rank permutation.  Cost: O(K) communication per
+    view — negligible next to the image-sized merges.
+    """
+    nvis = jnp.sum(valid)
+    mean_d = jnp.sum(jnp.where(valid, depth, 0.0)) / jnp.maximum(nvis, 1)
+    mean_d = jnp.where(nvis > 0, mean_d, jnp.inf)
+    ds = jax.lax.all_gather(mean_d, axis_name)  # [K]
+    order = jnp.argsort(ds)  # front-to-back shard indices
+    return (
+        jnp.zeros(axis_size, jnp.int32)
+        .at[order]
+        .set(jnp.arange(axis_size, dtype=jnp.int32))
+    )
+
+
 def merge_depth_partials(
     rgb: jnp.ndarray,  # [H, W, 3] this shard's accumulated color
     logt: jnp.ndarray,  # [H, W] this shard's log transmittance
     background: jnp.ndarray,  # [3]
     axis_name: str,
     axis_size: int,
+    ranks: jnp.ndarray | None = None,  # [K] per-view front-to-back ranks
 ) -> jnp.ndarray:
     """Merge per-shard partials over ``axis_name`` into the full image.
 
-    Must be called inside ``shard_map`` with shard index along
-    ``axis_name`` equal to the shard's depth rank (front = 0).  Gradients
-    flow correctly to every shard's partials, including through other
-    shards' transmittance prefixes (verified against the unsharded
+    Must be called inside ``shard_map``.  ``ranks`` gives each shard's
+    per-view compositing rank (front = 0, from :func:`view_depth_ranks`);
+    ``None`` falls back to shard-index order, which is only correct when
+    the storage is depth-partitioned *and* the rig is forward-facing.
+    Gradients flow correctly to every shard's partials, including through
+    other shards' transmittance prefixes (verified against the unsharded
     compositor in ``tests/test_parallel.py``).
     """
     # no size-1 shortcut: the psums also mark the merged image *invariant*
@@ -53,10 +96,11 @@ def merge_depth_partials(
     # [K, H, W] every shard's logT; needed for the exclusive prefix
     ag = jax.lax.all_gather(logt, axis_name)
     k = jax.lax.axis_index(axis_name)
-    in_front = (
-        jnp.arange(axis_size) < k
-    ).astype(ag.dtype)[:, None, None]
-    prefix = jnp.sum(ag * in_front, axis=0)  # [H, W] logT of nearer shards
+    if ranks is None:
+        in_front = (jnp.arange(axis_size) < k).astype(ag.dtype)
+    else:
+        in_front = (ranks < ranks[k]).astype(ag.dtype)
+    prefix = jnp.sum(ag * in_front[:, None, None], axis=0)  # [H, W]
     weighted = jnp.exp(prefix)[:, :, None] * rgb
     total_rgb = jax.lax.psum(weighted, axis_name)
     total_logt = jax.lax.psum(logt, axis_name)

@@ -94,7 +94,7 @@ def process_data_ranks(mesh: Mesh) -> list[int]:
     """The data-axis ranks whose devices live on THIS process.
 
     Tells the host-side loop which global view indices this host must
-    supply in each batch.
+    supply in each batch (partials gauss strategy: one view per data rank).
     """
     me = jax.process_index()
     mesh_devices = mesh.devices  # [data, gauss] ndarray of Devices
@@ -103,6 +103,25 @@ def process_data_ranks(mesh: Mesh) -> list[int]:
         if any(dev.process_index == me for dev in mesh_devices[d])
     ]
     return ranks
+
+
+def process_view_slots(mesh: Mesh) -> list[int]:
+    """The flat (data, gauss) view slots whose devices live on THIS process.
+
+    Under the exact gauss strategy every device renders its own view, so
+    the global batch has one slot per device, flattened data-major
+    (slot = data_rank · gauss + gauss_rank).  Tells the host-side loop
+    which global view indices this host must supply in each batch.
+    """
+    me = jax.process_index()
+    mesh_devices = mesh.devices  # [data, gauss] ndarray of Devices
+    gauss = mesh_devices.shape[1]
+    return [
+        d * gauss + g
+        for d in range(mesh_devices.shape[0])
+        for g in range(gauss)
+        if mesh_devices[d, g].process_index == me
+    ]
 
 
 def host_local_to_global(mesh: Mesh, spec: P, per_host_value):
@@ -119,14 +138,21 @@ def host_local_to_global(mesh: Mesh, spec: P, per_host_value):
     )
 
 
-def make_global_view_batch(mesh: Mesh, local_indices) -> jax.Array:
+def make_global_view_batch(
+    mesh: Mesh, local_indices, gauss_mode: str = "exact"
+) -> jax.Array:
     """Build the global [B] view-index batch from this host's indices.
 
-    ``local_indices`` holds one view id per local data rank (the output of
-    the host's sampler for ``process_data_ranks(mesh)``); the result is the
-    data-sharded global index array the sharded train step consumes.
+    Exact gauss strategy (default): ``local_indices`` holds one view id per
+    local *device* (the host's sampler output for
+    ``process_view_slots(mesh)``) and the result shards over both mesh
+    axes.  Partials strategy: one view id per local data rank
+    (``process_data_ranks(mesh)``), sharded over ``data`` only.
     """
+    spec = (
+        P((DATA_AXIS, GAUSS_AXIS)) if gauss_mode == "exact" else P(DATA_AXIS)
+    )
     local = np.asarray(local_indices, np.int32)
     return jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P(DATA_AXIS)), local
+        NamedSharding(mesh, spec), local
     )

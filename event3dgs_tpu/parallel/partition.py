@@ -1,17 +1,29 @@
-"""Depth-quantile Gaussian partitioning for the ``gauss`` mesh axis.
+"""Depth-quantile Gaussian partitioning for the ``gauss`` mesh axis
+(partials compositing strategy only).
 
-The sharded compositor (``parallel.compose.merge_depth_partials``) is exact
-when shard k's Gaussians are in front of shard k+1's for every view.  This
-module maintains that invariant: it reorders the capacity dimension of the
-whole train state so shard k (slot range [k·C/K, (k+1)·C/K)) holds the k-th
-depth quantile of the alive Gaussians, by a per-scene depth proxy.
-
-The proxy is the distance from the camera-position centroid: for the
-orbit/forward-facing capture rigs of the reference datasets
+The partials compositor (``parallel.compose.merge_depth_partials``) is exact
+only when the shards are depth-separable per view.  This module reorders the
+capacity dimension of the whole train state so shard k (slot range
+[k·C/K, (k+1)·C/K)) holds the k-th depth quantile of the alive Gaussians by
+a *scene-static* proxy: distance from the camera-position centroid
 (`/root/reference/scene/dataset_readers.py:47-68` computes the same centroid
-for the nerf++ radius), distance-from-rig-center orders Gaussians the same
-way as per-view z-depth up to pairs at nearly equal range — the same
-approximation class as the reference's own global center-depth sort.
+for the nerf++ radius).
+
+**Known limits, measured.**  The proxy orders shards correctly for
+forward-facing and layered rigs (narrow-arc captures), where the quantile
+shards are genuinely depth-separated per view.  On inward-facing rigs (full
+orbits — `tools/make_scene.py` default ``arc=2π`` and every inward real
+dataset) the rig centroid sits at the scene center, so the proxy is
+radius-from-center: shards are concentric shells that every view ray crosses
+twice (near side, far side), and *no* shard ordering — static or per-view —
+composites them exactly.  ``parallel.compose.view_depth_ranks`` repairs the
+*order* per view (shells rank by mean visible depth), which removes the
+systematic inside-out inversion, but cross-shard pairs with overlapping
+footprints still interleave; measured max pixel error on a 48-Gaussian
+arc=2π scene is ~1e-2 (see ``tests/test_parallel.py::TestOrbitSharding``).
+For exact sharded rendering on orbit geometry use the default
+projected-splat exchange path (``parallel.exchange``), which does not need
+this partition at all.
 
 Runs host-side at init and at densification boundaries (densify already
 syncs the host); a permutation of the capacity dim relabels Gaussian slots,

@@ -1,29 +1,46 @@
 """Sharded multi-view train step: shard_map over a (data × gauss) mesh.
 
 The reference trains one view per iteration on one GPU
-(`/root/reference/train.py:137-144`).  The TPU-native step batches ``B``
-views per iteration and runs under ``jax.shard_map`` on a
-``("data", "gauss")`` mesh:
+(`/root/reference/train.py:137-144`).  The TPU-native step batches views
+per iteration and runs under ``jax.shard_map`` on a ``("data", "gauss")``
+mesh:
 
 - **data axis**: the view batch shards one view-group per rank; per-view
   losses and parameter gradients are explicitly psum'd across ``data``.
 - **gauss axis**: Gaussian storage (params, Adam moments, densify stats)
-  shards its capacity dimension.  Each shard projects, bins and rasterizes
-  *only its own* Gaussians into (rgb, log T) partials with the production
-  tiled Pallas rasterizer — which therefore sees ordinary local shapes, no
-  GSPMD partitioning of the kernel — and shards merge in depth order via
-  ``parallel.compose.merge_depth_partials``.  Per-device memory is
-  O(N/K), never O(N): nothing ever all-gathers the parameter set.
+  shards its capacity dimension.  Parameters are never all-gathered —
+  per-device *state* is O(N/K).
+
+Two compositing strategies for the ``gauss`` axis (``gauss_mode``):
+
+- ``"exact"`` (default): per view, shards exchange *projected splats*
+  (one all_to_all of [K, C/K, 11] raster inputs per camera —
+  ``parallel.exchange``) and each device rasterizes the full splat set for
+  its own view with the global per-view (tile, depth) sort.  Exact parity
+  with the single-device renderer on any geometry, orbit rigs included,
+  and the gauss axis renders K extra views per step (D·K views/step).
+  Per-device activation cost: one [C, 11] f32 splat buffer per live
+  camera; comm O(11·C) per camera, resolution-independent.
+- ``"partials"``: each shard rasterizes only its own Gaussians into
+  (rgb, log T) image partials merged by per-view shard depth rank
+  (``parallel.compose``).  Comm is O(K·H·W) images — cheaper than the
+  exchange when C ≫ K·H·W — but the merge is **approximate**: shards of
+  any static partition interleave in depth along rays, so cross-shard
+  pairs with overlapping footprints can composite out of order.  Error is
+  small on depth-separable rigs (forward-facing / layered scenes) and
+  measurable on full orbits; see ``tests/test_parallel.py`` for measured
+  bounds.  Use for forward-facing captures or when the image merge is the
+  cheaper collective and the error bound is acceptable.
 
 Why shard_map and not GSPMD sharding annotations: the rasterizer is a
 Pallas kernel with scalar-prefetch grids; under shard_map it runs unchanged
-per device, and the only collectives are the two image-sized merges (an
-all-gather of [H, W] logT maps and a psum of [H, W, 3] weighted partials)
-plus the gradient psums over ``data`` — all explicit, all on ICI.
+per device, and the only collectives are the explicit exchanges above plus
+the gradient psums over ``data`` — all on ICI.
 
-Gradient correctness across the merge (own shard's logT enters *other*
-shards' transmittance prefixes) is delegated to JAX AD through the
-collectives and pinned by the sharded-vs-single-device parity tests in
+Gradient correctness across the collectives (all_to_all transposes to the
+reverse all_to_all, all_gather to psum_scatter; partials mode: own logT
+enters other shards' transmittance prefixes) is delegated to JAX AD and
+pinned by the sharded-vs-single-device parity tests in
 ``tests/test_parallel.py``.
 
 Densification stats under batching: the reference accumulates one view's
@@ -57,7 +74,8 @@ from event3dgs_tpu.models.gaussians import (
 )
 from event3dgs_tpu.models.optimizer import adam_update
 from event3dgs_tpu.ops.render import render_partials
-from event3dgs_tpu.parallel.compose import merge_depth_partials
+from event3dgs_tpu.parallel.compose import merge_depth_partials, view_depth_ranks
+from event3dgs_tpu.parallel.exchange import render_view_exchange
 from event3dgs_tpu.parallel.mesh import DATA_AXIS, GAUSS_AXIS
 from event3dgs_tpu.train.state import (
     SceneData,
@@ -114,13 +132,29 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def unshard_state(state: TrainState) -> TrainState:
-    """Pull a (possibly sharded) train state into host-backed arrays.
+    """Pull a (possibly sharded) train state into host-backed full arrays.
 
     Used at densification boundaries: densify/prune runs globally (exact
-    reference semantics) and the result is depth-repartitioned
-    (``parallel.partition``) before re-placing with
+    reference semantics) and the result is re-placed with
     :func:`shard_train_state`.
+
+    Multi-host: gauss-sharded leaves span non-addressable devices, so a
+    plain ``device_get`` would raise; ``process_allgather`` assembles the
+    full value on every process instead (each leaf is already identical
+    across processes for replicated leaves, and the gather reconstructs
+    sharded ones).
     """
+    if jax.process_count() > 1:
+        from jax.experimental.multihost_utils import process_allgather
+
+        def pull(leaf):
+            if not hasattr(leaf, "ndim"):
+                return leaf
+            if getattr(leaf, "is_fully_addressable", True):
+                return jnp.asarray(jax.device_get(leaf))
+            return jnp.asarray(process_allgather(leaf, tiled=True))
+
+        return jax.tree.map(pull, state)
     return jax.tree.map(jnp.asarray, jax.device_get(state))
 
 
@@ -133,27 +167,37 @@ def make_sharded_train_step(
     spatial_lr_scale: float = 1.0,
     rasterizer: str = "tiled",
     instance_cap: int | None = None,
+    gauss_mode: str = "exact",
 ) -> Callable:
     """Build the compiled batched/sharded train step.
 
     Signature: ``(state, data, idx_main [B], idx_now [B], idx_next [B], bg)
-    → (state, metrics)`` with B a multiple of the ``data`` axis size.
-    The state must be depth-partitioned over ``gauss``
-    (``parallel.partition.repartition_by_depth``) for the cross-shard
-    compositing order to be exact.
+    → (state, metrics)``.  With ``gauss_mode="exact"`` (default) B must be
+    a multiple of data·gauss (the view batch shards over both axes); with
+    ``"partials"`` B is a multiple of the ``data`` size only and the state
+    should be depth-partitioned over ``gauss``
+    (``parallel.partition.repartition_by_depth``) to minimise the merge's
+    ordering error.
     """
+    if gauss_mode not in ("exact", "partials"):
+        raise ValueError(f"gauss_mode must be 'exact' or 'partials', got {gauss_mode!r}")
     lambda_dssim = (
         event_cfg.event_lambda_dssim if mode.startswith("event")
         else opt_cfg.lambda_dssim
     )
     data_size = mesh.shape[DATA_AXIS]
     gauss_size = mesh.shape[GAUSS_AXIS]
+    exact = gauss_mode == "exact"
+    # exact mode: the gauss axis renders its own views, so one step consumes
+    # b_local · data · gauss reference iterations; partials replicates views
+    # across gauss.
+    views_per_local = data_size * (gauss_size if exact else 1)
 
     def body(state, data, idx_main, idx_now, idx_next, bg):
         # Local view: params/opt/stats are this rank's gauss shard
         # [C/gauss, ...]; idx arrays are this rank's views [B_local].
         b_local = idx_main.shape[0]
-        b_global = b_local * data_size
+        b_global = b_local * views_per_local
         # state.step counts REFERENCE iterations (= views consumed), so the
         # lr/SH schedules calibrated on the reference's one-view loop
         # transfer unchanged; one batched step = B reference iterations.
@@ -162,39 +206,52 @@ def make_sharded_train_step(
         cmask = sh_coeff_mask(deg, (max_sh_degree + 1) ** 2)
         cap_local = state.params.xyz.shape[0]
 
-        def render_p(act, features, cam, tap):
-            return render_partials(
-                act.means3d,
-                features,
-                act.opacities,
-                act.scales,
-                act.rotations,
-                cam,
-                sh_degree=max_sh_degree,
-                mean2d_tap=tap,
-                rasterizer=rasterizer,
+        # ---- exact gauss path: per-view projected-splat exchange ----------
+        def exchange_render(act, features, cameras, vidx, tap):
+            ex = render_view_exchange(
+                act.means3d, features, act.opacities, act.scales,
+                act.rotations, cameras, vidx, GAUSS_AXIS, gauss_size,
+                max_sh_degree, taps=tap, rasterizer=rasterizer,
                 instance_cap=instance_cap,
             )
+            img = ex.rgb + jnp.exp(ex.logt)[:, :, None] * bg[None, None, :]
+            return img, ex.radii_own, ex.vis_own
 
-        def merge(p):
-            return merge_depth_partials(
-                p.rgb, p.logt, bg, GAUSS_AXIS, gauss_size
+        # ---- partials gauss path: per-shard raster + rank-ordered merge ---
+        def partials_render(act, features, cameras, vidx, tap):
+            cam = jax.tree.map(lambda x: x[vidx], cameras)
+            pm = render_partials(
+                act.means3d, features, act.opacities, act.scales,
+                act.rotations, cam, sh_degree=max_sh_degree,
+                mean2d_tap=tap, rasterizer=rasterizer,
+                instance_cap=instance_cap,
             )
+            ranks = view_depth_ranks(
+                pm.depth, pm.visibility, GAUSS_AXIS, gauss_size
+            )
+            img = merge_depth_partials(
+                pm.rgb, pm.logt, bg, GAUSS_AXIS, gauss_size, ranks=ranks
+            )
+            return img, pm.radii, pm.visibility
+
+        render_view = exchange_render if exact else partials_render
 
         def view_loss(act, features, contrast, tap, im, inow, inext):
-            cam_main = jax.tree.map(lambda x: x[im], data.cameras)
-            pm = render_p(act, features, cam_main, tap)
-            img_main = merge(pm)
+            img_main, radii, vis = render_view(
+                act, features, data.cameras, im, tap
+            )
             gt_main = data.images[im]
             if mode == "rgb":
                 loss, _ = rgb_total_loss(img_main, gt_main, lambda_dssim)
             elif mode == "gray":
                 loss, _ = gray_total_loss(img_main, gt_main, lambda_dssim)
             else:
-                cam_now = jax.tree.map(lambda x: x[inow], data.event_cameras)
-                cam_next = jax.tree.map(lambda x: x[inext], data.event_cameras)
-                img_now = merge(render_p(act, features, cam_now, None))
-                img_next = merge(render_p(act, features, cam_next, None))
+                img_now, _, _ = render_view(
+                    act, features, data.event_cameras, inow, None
+                )
+                img_next, _, _ = render_view(
+                    act, features, data.event_cameras, inext, None
+                )
                 loss, _ = event_total_loss(
                     img_now,
                     img_next,
@@ -211,7 +268,7 @@ def make_sharded_train_step(
                         loss, img_main, data.blurry_images[im],
                         event_cfg.blur_alpha,
                     )
-            return loss, (pm.radii, pm.visibility)
+            return loss, (radii, vis)
 
         def loss_fn(train_tree, contrast, taps):
             params = with_trainable(state.params, train_tree)
@@ -229,18 +286,38 @@ def make_sharded_train_step(
                 vis_l.append(vis)
             return total / b_global, (jnp.stack(radii_l), jnp.stack(vis_l))
 
-        taps = jnp.zeros((b_local, cap_local, 2))
+        # taps: per local view, the screen-grad zeros for this shard's slots
+        # under each rendered camera — [B, K, C/K, 2] in exact mode (one tap
+        # per group view), [B, C/K, 2] in partials mode.
+        #
+        # The taps MUST be marked device-varying (pcast) before entering AD:
+        # a mesh-invariant zeros array is a *replicated* input, and shard_map
+        # AD then returns the psum over every device's loss — i.e. each
+        # device's tap gradient would be the norm-of-sum of OTHER views'
+        # screen gradients instead of its own view's (B× inflated densify
+        # stats, measured in tests/test_parallel.py::TestShardedStep::
+        # test_batched_stats_match_per_view_sum).
+        tap_axes = (DATA_AXIS, GAUSS_AXIS)
+        if exact:
+            taps = jnp.zeros((b_local, gauss_size, cap_local, 2))
+        else:
+            taps = jnp.zeros((b_local, cap_local, 2))
+        taps = jax.lax.pcast(taps, tap_axes, to="varying")
         train_tree = trainable_dict(state.params)
         (loss, (radii, vis)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(train_tree, state.contrast, taps)
         g_params, g_contrast, g_taps = grads
 
-        # cross-view-rank gradient reduction (loss already carries 1/B)
-        g_params = jax.tree.map(
-            lambda g: jax.lax.psum(g, DATA_AXIS), g_params
-        )
-        g_contrast = jax.lax.psum(g_contrast, DATA_AXIS)
+        # Cross-rank gradient reduction happens INSIDE autodiff, not here:
+        # train_tree is data-invariant (replicated over ``data``), so the
+        # AD transpose already psums its gradient over ``data``; contrast is
+        # fully replicated, so its gradient arrives summed over every axis
+        # the loss varies on.  In exact mode the all_to_all transposes have
+        # likewise already routed each gauss peer's sensitivities back to
+        # the owning shard.  Explicit psums here would double-count
+        # (verified by the per-view-sum stats test above).
+        loss_axes = (DATA_AXIS, GAUSS_AXIS) if exact else DATA_AXIS
 
         lrs = _lr_tree(opt_cfg, step, spatial_lr_scale)
         new_tree, new_opt = adam_update(
@@ -257,12 +334,16 @@ def make_sharded_train_step(
             new_contrast, new_copt = state.contrast, state.contrast_opt
 
         # densify stats: per-view accumulation (B reference iterations'
-        # worth per step); ×B undoes the loss's batch-mean normalization
-        vis_f = vis.astype(jnp.float32)  # [B_local, C/gauss]
+        # worth per step); ×B undoes the loss's batch-mean normalization.
+        # exact mode shapes carry an extra group-view axis: [B, K, C/K].
+        view_axes = (0, 1) if exact else (0,)
+        vis_f = vis.astype(jnp.float32)
         gnorm = jnp.linalg.norm(g_taps, axis=-1) * b_global
-        acc = jax.lax.psum(jnp.sum(gnorm * vis_f, axis=0), DATA_AXIS)
-        den = jax.lax.psum(jnp.sum(vis_f, axis=0), DATA_AXIS)
-        rmax = jax.lax.pmax(jnp.max(radii * vis_f, axis=0), DATA_AXIS)
+        acc = jax.lax.psum(jnp.sum(gnorm * vis_f, axis=view_axes), DATA_AXIS)
+        den = jax.lax.psum(jnp.sum(vis_f, axis=view_axes), DATA_AXIS)
+        rmax = jax.lax.pmax(
+            jnp.max(radii * vis_f, axis=view_axes), DATA_AXIS
+        )
         new_stats = DensifyStats(
             grad_accum=state.stats.grad_accum + acc,
             denom=state.stats.denom + den,
@@ -270,10 +351,10 @@ def make_sharded_train_step(
         )
 
         any_vis = jax.lax.pmax(
-            jnp.any(vis, axis=0).astype(jnp.int32), DATA_AXIS
+            jnp.any(vis, axis=view_axes).astype(jnp.int32), DATA_AXIS
         )
         metrics = {
-            "loss": jax.lax.psum(loss, DATA_AXIS),
+            "loss": jax.lax.psum(loss, loss_axes),
             "contrast": new_contrast,
             "num_visible": jax.lax.psum(jnp.sum(any_vis), GAUSS_AXIS),
         }
@@ -300,6 +381,7 @@ def make_sharded_train_step(
     # were traced against un-annotated SMEM refs).  The jaxpr is final
     # before lowering, so this changes no semantics.
     cache: dict = {}
+    idx_spec = P((DATA_AXIS, GAUSS_AXIS)) if exact else P(DATA_AXIS)
 
     def step(state, data: SceneData, idx_main, idx_now, idx_next, bg):
         from jax._src import config as _jax_config
@@ -313,8 +395,8 @@ def make_sharded_train_step(
                 body,
                 mesh=mesh,
                 in_specs=(
-                    state_specs, data_specs, P(DATA_AXIS), P(DATA_AXIS),
-                    P(DATA_AXIS), P(),
+                    state_specs, data_specs, idx_spec, idx_spec,
+                    idx_spec, P(),
                 ),
                 out_specs=(state_specs, metric_specs),
             )

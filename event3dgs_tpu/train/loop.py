@@ -108,6 +108,12 @@ def densify_with_growth(
     return new_state, grew
 
 
+# Cadence (in reference iterations) of the post-densify-window instance-cap
+# re-measurement — coarse enough to be amortized noise, fine enough that a
+# drifting scene cannot silently exceed the 1.5x measurement margin for long.
+INSTANCE_RECHECK_INTERVAL = 1000
+
+
 def pick_view_index(rng: pyrandom.Random, n_views: int, mode: str, holdout: bool):
     """Random view selection with the reference's quirks (`train.py:116-131`):
     event mode samples [2, n-4]; others [2, n-3]; gray/event skip the manual
@@ -248,6 +254,18 @@ def train_loop(
                 cfg.model.white_background and it == opt.densify_from_iter
             ):
                 state = opacity_reset_step(state)
+        elif use_tiled and it % INSTANCE_RECHECK_INTERVAL == 0:
+            # Post-densify-window guard: scales keep training after
+            # densify_until_iter, so per-view instance counts can still
+            # outgrow the budget — without this, expand_instances would
+            # clamp to the cap and silently drop the deepest instances.
+            # Re-measure on a coarse cadence and grow the cap (one re-jit).
+            needed = measure_instance_cap(state.params, data.cameras)
+            if needed > instance_cap:
+                instance_cap = needed
+                step_fn = build_step()
+                if callbacks.on_metrics:
+                    callbacks.on_metrics(it, {"instance_cap": instance_cap})
 
         if callbacks.on_save and it in cfg.save_iterations:
             callbacks.on_save(it, state)

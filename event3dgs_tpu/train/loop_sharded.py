@@ -14,9 +14,12 @@ them on interval *crossings*.
 Densification is a host event (it already syncs the host in the
 single-device loop): the state is pulled to replicated host arrays, the
 exact single-device densify (+ capacity growth, never dropping candidates)
-runs globally, the Gaussians are re-partitioned into depth quantiles so the
-cross-shard compositing order stays exact, and the state is re-placed on
-the mesh.  This costs one gather+scatter of the parameter set every
+runs globally, and the state is re-placed on the mesh.  Under the default
+exact gauss strategy (``cfg.pipeline.gauss_mode="exact"``) slot layout is
+irrelevant — the per-view splat exchange restores the unsharded order; the
+opt-in ``"partials"`` strategy additionally re-partitions the Gaussians
+into depth quantiles to minimise its merge's ordering error.  Either way
+this costs one gather+scatter of the parameter set every
 ``densification_interval`` views — amortized noise next to the render work.
 
 Multi-host: build the mesh with ``parallel.distributed.make_global_mesh``
@@ -36,6 +39,7 @@ import numpy as np
 import random as pyrandom
 
 from event3dgs_tpu.train.loop import (
+    INSTANCE_RECHECK_INTERVAL,
     TrainCallbacks,
     TrainResult,
     densify_with_growth,
@@ -82,8 +86,12 @@ def train_loop_sharded(
     ev = cfg.event
     iters = iterations or opt.iterations
     callbacks = callbacks or TrainCallbacks()
-    b = mesh.shape["data"]
     gauss = mesh.shape["gauss"]
+    gauss_mode = getattr(cfg.pipeline, "gauss_mode", "exact")
+    exact = gauss_mode == "exact"
+    # exact mode: the gauss axis renders its own views → B = data·gauss
+    # views per step; partials replicates each view across the gauss group.
+    b = mesh.shape["data"] * (gauss if exact else 1)
 
     opacity_reset_interval = (
         ev.opacity_reset_interval if mode.startswith("event")
@@ -107,12 +115,17 @@ def train_loop_sharded(
             spatial_lr_scale=state.spatial_lr_scale,
             rasterizer=cfg.pipeline.rasterizer,
             instance_cap=instance_cap,
+            gauss_mode=gauss_mode,
         )
 
     step_fn = build_step()
     densify_fn = make_densify_step(opt, extent)
 
-    state = repartition_by_depth(state, data.cameras, gauss)
+    # the exchange path restores the exact unsharded splat order per view,
+    # so slot layout is irrelevant; the partials merge wants depth-quantile
+    # shards to minimise its ordering error
+    if not exact:
+        state = repartition_by_depth(state, data.cameras, gauss)
     state = shard_train_state(state, mesh)
 
     bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
@@ -161,9 +174,10 @@ def train_loop_sharded(
                 host_state, grew = densify_with_growth(
                     host_state, densify_fn, sub, use_size_prune
                 )
-                host_state = repartition_by_depth(
-                    host_state, data.cameras, gauss
-                )
+                if not exact:
+                    host_state = repartition_by_depth(
+                        host_state, data.cameras, gauss
+                    )
                 if grew and callbacks.on_metrics:
                     callbacks.on_metrics(
                         it, {"capacity": host_state.params.capacity}
@@ -183,6 +197,16 @@ def train_loop_sharded(
                 host_state = unshard_state(state)
                 host_state = opacity_reset_step(host_state)
                 state = shard_train_state(host_state, mesh)
+        elif use_tiled and _crossed(prev, it, INSTANCE_RECHECK_INTERVAL):
+            # post-densify-window guard (see train/loop.py): growing scales
+            # must not silently overflow the instance budget
+            needed = measure_instance_cap(unshard_state(state).params,
+                                          data.cameras)
+            if needed > instance_cap:
+                instance_cap = needed
+                step_fn = build_step()
+                if callbacks.on_metrics:
+                    callbacks.on_metrics(it, {"instance_cap": instance_cap})
 
         if callbacks.on_save and any(
             prev < s <= it for s in cfg.save_iterations

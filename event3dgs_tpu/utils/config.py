@@ -44,6 +44,11 @@ class PipelineConfig:
     debug: bool = False
     # TPU-build addition: "reference" (slow oracle) or "tiled" (Pallas)
     rasterizer: str = "tiled"
+    # TPU-build addition, gauss-axis compositing strategy (parallel/):
+    # "exact" = per-view projected-splat exchange (exact on any geometry),
+    # "partials" = per-shard image partials + rank-ordered merge
+    # (approximate; cheaper comms when N >> K*H*W on forward-facing rigs)
+    gauss_mode: str = "exact"
 
 
 @dataclass

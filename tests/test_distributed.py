@@ -1,12 +1,16 @@
-"""Multi-host bootstrap test: 2 CPU processes × 4 virtual devices.
+"""Multi-host bootstrap tests: N CPU processes forming one 8-device mesh.
 
-Spawns two worker processes that connect through ``jax.distributed``
-(Gloo collectives over localhost), form the 8-device global ("data",
-"gauss") mesh, and run one sharded train step.  Asserts: both processes
-compute the same loss, and that loss matches a single-process run of the
-identical configuration on this process's own 8-device mesh — i.e. the
-sharded step's math is host-count-invariant (BASELINE "scaling 1→N
-hosts").
+Spawns worker processes that connect through ``jax.distributed`` (Gloo
+collectives over localhost), form the 8-device global ("data", "gauss")
+mesh, and run a short sharded training LOOP with *distinct per-host view
+batches* (each host supplies indices only for its own devices through
+``make_global_view_batch``), crossing a densification boundary and a log
+tick — so the multi-host ``unshard_state`` (process_allgather) path and
+the host densify round-trip both execute.  Asserts: all processes compute
+identical results, and those match a single-process run of the identical
+configuration on this process's own 8-device mesh — i.e. the sharded loop
+is host-count-invariant (BASELINE "scaling 1→N hosts") at 1, 2 and 4
+processes.
 """
 
 import re
@@ -30,7 +34,46 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_step_matches_single_process():
+def _single_process_reference():
+    """The same 24-view loop on this process's local 8-device mesh."""
+    from event3dgs_tpu.data.synthetic import make_synthetic_scene
+    from event3dgs_tpu.models import init_from_point_cloud
+    from event3dgs_tpu.parallel import make_mesh
+    from event3dgs_tpu.train import (
+        SceneData,
+        init_train_state,
+        train_loop_sharded,
+    )
+    from event3dgs_tpu.utils.config import TrainConfig
+
+    scene = make_synthetic_scene(
+        n_gaussians=40, n_views=12, width=64, height=32, arc=0.5
+    )
+    params = init_from_point_cloud(scene.points, scene.colors, capacity=64)
+    state = init_train_state(params, spatial_lr_scale=scene.extent)
+    data = SceneData(cameras=scene.cameras, images=scene.images,
+                     event_cameras=scene.cameras, event_images=scene.images)
+    cfg = TrainConfig()
+    cfg.pipeline.rasterizer = "tiled"
+    cfg.optimization.densify_from_iter = 4
+    cfg.optimization.densification_interval = 8
+    mesh = make_mesh(8, gauss=2)
+    fixed = jnp.arange(2, 10, dtype=jnp.int32)  # slot s -> view 2+s
+    res = train_loop_sharded(
+        state, data, cfg, "event", scene.extent, mesh,
+        iterations=24,
+        view_batch_fn=lambda it: (fixed, fixed, fixed),
+    )
+    return (
+        [float(h) for h in res.history],
+        float(np.abs(np.asarray(res.state.params.xyz)).sum()),
+        float(np.asarray(res.state.params.opacity).sum()),
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("nproc,devs", [(2, 4), (4, 2)])
+def test_multi_process_sharded_loop_matches_single_process(nproc, devs):
     port = _free_port()
     import os
 
@@ -42,11 +85,12 @@ def test_two_process_sharded_step_matches_single_process():
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(i), "2", str(port)],
+            [sys.executable, str(WORKER), str(i), str(nproc), str(port),
+             str(devs)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     outs = []
     for p in procs:
@@ -55,40 +99,25 @@ def test_two_process_sharded_step_matches_single_process():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
 
-    losses = {}
+    results = {}
     for out in outs:
-        m = re.search(r"WORKER_RESULT (\d+) loss=([0-9.eE+-]+)", out)
+        m = re.search(
+            r"WORKER_RESULT (\d+) hist=(\S+) xyz=(\S+) opa=(\S+)", out
+        )
         assert m, out[-2000:]
-        losses[int(m.group(1))] = float(m.group(2))
-    assert set(losses) == {0, 1}
-    # replicated metrics must agree bit-for-bit across hosts
-    assert losses[0] == losses[1]
+        results[int(m.group(1))] = (
+            [float(x) for x in m.group(2).split(",")],
+            float(m.group(3)),
+            float(m.group(4)),
+        )
+    assert set(results) == set(range(nproc))
+    # replicated metrics and final state digests must agree bit-for-bit
+    # across hosts (each host gathered the same global state)
+    for i in range(1, nproc):
+        assert results[0] == results[i]
 
-    # single-process reference on this process's local 8-device mesh
-    from event3dgs_tpu.data.synthetic import make_synthetic_scene
-    from event3dgs_tpu.models import init_from_point_cloud
-    from event3dgs_tpu.parallel import (
-        make_mesh,
-        make_sharded_train_step,
-        repartition_by_depth,
-        shard_train_state,
-    )
-    from event3dgs_tpu.train import SceneData, init_train_state
-    from event3dgs_tpu.utils.config import EventConfig, OptimizationConfig
-
-    scene = make_synthetic_scene(
-        n_gaussians=40, n_views=12, width=64, height=32, arc=0.5
-    )
-    params = init_from_point_cloud(scene.points, scene.colors, capacity=64)
-    state = init_train_state(params, spatial_lr_scale=scene.extent)
-    state = repartition_by_depth(state, scene.cameras, 2)
-    mesh = make_mesh(8, gauss=2)
-    state = shard_train_state(state, mesh)
-    data = SceneData(cameras=scene.cameras, images=scene.images)
-    step = make_sharded_train_step(
-        "rgb", OptimizationConfig(), EventConfig(), mesh,
-        spatial_lr_scale=scene.extent,
-    )
-    idx = jnp.asarray([2, 3, 4, 5], jnp.int32)
-    _, metrics = step(state, data, idx, idx, idx, jnp.zeros(3))
-    assert losses[0] == pytest.approx(float(metrics["loss"]), rel=1e-5)
+    hist, xyz_sum, opa_sum = _single_process_reference()
+    w_hist, w_xyz, w_opa = results[0]
+    np.testing.assert_allclose(w_hist, hist, rtol=1e-5)
+    assert w_xyz == pytest.approx(xyz_sum, rel=1e-5)
+    assert w_opa == pytest.approx(opa_sum, rel=1e-4)

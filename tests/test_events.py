@@ -211,3 +211,47 @@ class TestSimulate:
     def test_luminance_positive(self):
         img = np.zeros((4, 4, 3))
         assert (rgb_to_luminance(img) > 0).all()
+
+    @pytest.mark.parametrize(
+        "layout,subpath,first_name",
+        [
+            ("default", "out", "00002.png"),
+            ("volt", "out_ac", "00003.png"),
+            ("edslike", "out/images_simu", "frame_0000000000.png"),
+            ("eds", "out/images_ac", "frame_0000000000.png"),
+            ("T", "out/images_ac", "0000.png.png"),
+            ("tumvie", "out/images_ac", "00000..png"),
+        ],
+    )
+    def test_accumulation_layouts(self, tmp_path, layout, subpath, first_name):
+        """The five dataset-specific accumulation layouts of the reference
+        (`Event_sensor/event_tools.py:84-160`): window fraction, output
+        directory, and filename pattern (index offsets + double-extension
+        quirks preserved)."""
+        from event3dgs_tpu.events.simulate import ACCUMULATION_LAYOUTS
+
+        buf = EventBuffer(16)
+        # 8 events spread over 4 ms: two per 1000-us interval, the second of
+        # each pair in the trailing 90% (dropped by frac=0.1 layouts)
+        for i in range(4):
+            buf.add(i * 1000 + 10, 1 + i, 2, 1)
+            buf.add(i * 1000 + 500, 5, 3 + i, 0)
+        out = str(tmp_path / "out")
+        imgs = generate_event_frames(
+            buf, 16, 12, 1000, out_dir=out, layout=layout, total_frames=3
+        )
+        assert len(imgs) == 3
+        assert imgs[0].shape == (12, 16)
+        dest = tmp_path / subpath
+        assert (dest / first_name).exists(), sorted(
+            p.name for p in dest.iterdir()
+        )
+        frac = ACCUMULATION_LAYOUTS[layout]["window_frac"]
+        mid = 0.5
+        if frac < 1.0:
+            # trailing-window event (t=510) must be excluded from frame 0
+            assert imgs[0][3, 5] == pytest.approx(mid)
+            assert imgs[0][2, 1] != pytest.approx(mid)
+        else:
+            assert imgs[0][3, 5] != pytest.approx(mid)
+            assert imgs[0][2, 1] != pytest.approx(mid)
