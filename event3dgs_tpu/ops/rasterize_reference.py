@@ -152,7 +152,15 @@ def _composite_all(
         T = T * jnp.prod(one_minus, axis=1)
         return (rgb, T), None
 
-    init = (jnp.zeros((npix, 3)), jnp.ones((npix,)))
+    # inside shard_map the xs carry device-varying vma; the scan carry must
+    # match the body output's vma, so promote the (invariant) zeros/ones
+    # init to the inputs' union (no-op outside shard_map)
+    from event3dgs_tpu.ops.pallas_util import unify_vma
+
+    init_rgb, init_t, _ = unify_vma(
+        jnp.zeros((npix, 3)), jnp.ones((npix,)), mean2d
+    )
+    init = (init_rgb, init_t)
     xs = (
         mean2d.reshape(total // chunk, chunk, 2),
         conic.reshape(total // chunk, chunk, 3),

@@ -48,6 +48,8 @@ def synthesize_scene(
     arc: float = 2.0 * np.pi,
     white_background: bool = False,
     blur_steps: int = 0,
+    scale_min: float = 0.04,
+    scale_max: float = 0.14,
 ) -> dict:
     import jax.numpy as jnp
 
@@ -59,8 +61,16 @@ def synthesize_scene(
     rng = np.random.default_rng(seed)
     pts = rng.normal(size=(n_gaussians, 3)) * np.array([0.9, 0.6, 0.9])
     cols = rng.uniform(0.1, 1.0, size=(n_gaussians, 3))
+    # Splat size statistics. The defaults (0.04-0.14 world units ≈ 6-20 px
+    # screen radius at 400×400 from the 4-unit orbit) make an easy dense
+    # scene for the short recipes, but the reference's hardcoded 20 px
+    # screen-size prune (active after the first opacity reset) then kills
+    # the model mid-schedule (RESULTS_r3 gray_30k finding).  For the full
+    # 30k vanilla schedule (BASELINE config 4) pass photographic statistics
+    # — e.g. --gaussians 6000 --scale_min 0.004 --scale_max 0.015 keeps
+    # splats at the sub-5 px radii the prune was tuned for.
     scales = np.exp(
-        rng.uniform(np.log(0.04), np.log(0.14), size=(n_gaussians, 1))
+        rng.uniform(np.log(scale_min), np.log(scale_max), size=(n_gaussians, 1))
     )
     scales = np.tile(scales, (1, 3)) * rng.uniform(
         0.7, 1.4, size=(n_gaussians, 3)
@@ -188,11 +198,16 @@ def main(argv=None):
     p.add_argument("--init_noise", type=float, default=0.05)
     p.add_argument("--white_background", "-w", action="store_true")
     p.add_argument("--blur_steps", type=int, default=0)
+    p.add_argument("--scale_min", type=float, default=0.04)
+    p.add_argument("--scale_max", type=float, default=0.14)
+    p.add_argument("--arc", type=float, default=2.0 * np.pi)
     args = p.parse_args(argv)
     meta = synthesize_scene(
         args.output, args.views, args.width, args.height, args.gaussians,
-        args.seed, args.init_noise, white_background=args.white_background,
+        args.seed, args.init_noise, arc=args.arc,
+        white_background=args.white_background,
         blur_steps=args.blur_steps,
+        scale_min=args.scale_min, scale_max=args.scale_max,
     )
     print(f"wrote {meta['n_views']}-view scene to {args.output}")
     return 0
