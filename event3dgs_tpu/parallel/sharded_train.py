@@ -407,4 +407,7 @@ def make_sharded_train_step(
                 cache[key] = traced.lower().compile()
         return cache[key](state, data, idx_main, idx_now, idx_next, bg)
 
+    # exposed for the memory-contract test (tests/test_parallel.py): the
+    # compiled executables' memory_analysis pins the O(N/K)-state promise
+    step.compiled_cache = cache
     return step

@@ -151,6 +151,66 @@ class TestMergePartials:
 
 
 @pytest.mark.slow
+class TestMemoryContract:
+    def test_state_is_never_replicated_per_device(self):
+        """Pin the SCALING.md promise: per-device *state* is O(N/K).
+
+        The compiled step's per-device argument/output sizes must reflect
+        the gauss-sharded state (C/K per capacity leaf), not a replicated
+        O(N) copy — this test fails if someone reintroduces a full
+        parameter gather into the step's inputs/outputs or re-replicates a
+        capacity leaf in state_partition_specs."""
+        from event3dgs_tpu.parallel.sharded_train import _is_capacity_leaf
+
+        C, K = 8192, 8
+        scene = make_synthetic_scene(
+            n_gaussians=64, n_views=12, width=48, height=32, arc=0.5
+        )
+        params = init_from_point_cloud(
+            scene.points, scene.colors, capacity=C
+        )
+        state = init_train_state(params, spatial_lr_scale=scene.extent)
+        data = SceneData(cameras=scene.cameras, images=scene.images,
+                         event_cameras=scene.cameras,
+                         event_images=scene.images)
+        mesh = make_mesh(8, gauss=K)
+        ss = shard_train_state(state, mesh)
+        step = make_sharded_train_step(
+            "event", OptimizationConfig(), EventConfig(), mesh,
+            spatial_lr_scale=scene.extent, rasterizer="reference",
+        )
+        idx = jnp.arange(8, dtype=jnp.int32) + 1
+        ss2, _ = step(ss, data, idx, idx, idx + 1, jnp.zeros(3))
+
+        # sharding survived the step: every capacity leaf is C/K per device
+        for leaf in jax.tree.leaves(ss2):
+            if _is_capacity_leaf(leaf, K) and leaf.shape[0] == C:
+                shapes = {s.data.shape[0] for s in leaf.addressable_shards}
+                assert shapes == {C // K}
+
+        nbytes = lambda t: sum(
+            x.size * x.dtype.itemsize for x in jax.tree.leaves(t)
+        )
+        state_bytes = nbytes(state)
+        expected_device_state = sum(
+            (x.size // (K if _is_capacity_leaf(x, K) and x.shape[0] == C
+                        else 1)) * x.dtype.itemsize
+            for x in jax.tree.leaves(state)
+        )
+        data_bytes = nbytes(data) + 64  # replicated scene data + idx/bg
+        comp = next(iter(step.compiled_cache.values()))
+        ma = comp.memory_analysis()
+        # per-device inputs = this shard's state + the replicated scene
+        # data; a replicated parameter set would blow past full state size
+        assert ma.argument_size_in_bytes < (
+            expected_device_state + data_bytes + state_bytes * 0.05
+        )
+        assert ma.argument_size_in_bytes < state_bytes / 2
+        # per-device outputs = this shard's updated state + scalar metrics
+        assert ma.output_size_in_bytes < expected_device_state * 1.1 + 4096
+
+
+@pytest.mark.slow
 class TestShardedRenderGrads:
     def test_sharded_render_loss_and_grads_match(self, layered_scene):
         """Gauss-sharded tiled rendering + merge ≡ unsharded tiled render:
