@@ -69,7 +69,8 @@ def bench_kernel():
     @jax.jit
     def _count(m, s, r, o):
         p = project_gaussians(m, s, r, cam, opacities=o)
-        return count_instances(p.mean2d, p.radius, p.valid, WIDTH, HEIGHT)
+        return count_instances(p.mean2d, p.radius, p.valid, WIDTH, HEIGHT,
+                               conic=p.conic, opacities=o)
 
     icap = suggest_instance_cap(int(_count(means, scales, rots, opac)))
     interpret = jax.default_backend() != "tpu"

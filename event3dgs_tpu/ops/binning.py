@@ -55,6 +55,51 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+class EllipseCull(NamedTuple):
+    """Per-Gaussian data for the exact per-tile alpha cull.
+
+    A (gaussian, tile) instance is droppable iff the minimum of
+    Q(d) = ca·dx² + 2·cb·dx·dy + cc·dy² over the tile's pixel box exceeds
+    ``qthr`` = 2·ln(255·opacity) — then α < 1/255 at every pixel and the
+    compositing kernels would zero the contribution anyway.  ``nba``/``nbc``
+    are the precomputed −cb/ca and −cb/cc (the per-edge minimizer slopes),
+    so the expansion kernels evaluate the 4-edge closed form without
+    divisions.  Degenerate conics carry ca=cb=cc=0 → Q ≡ 0, never culled.
+    """
+
+    ca: jnp.ndarray
+    cb: jnp.ndarray
+    cc: jnp.ndarray
+    nba: jnp.ndarray
+    nbc: jnp.ndarray
+    qthr: jnp.ndarray
+
+
+def rect_min_q(lx, hx, ly, hy, ca, cb, cc, nba, nbc):
+    """Min of the (positive-semidefinite) quadratic over the box
+    [lx, hx] × [ly, hy] (bounds relative to the Gaussian mean).
+
+    Convexity ⇒ the min is 0 if the box contains the origin, else it lies
+    on one of the four edges, where the 1-D minimizer is the clamped
+    stationary point (dy* = −cb/cc·dx on a dx-edge and symmetrically).
+    """
+    inside = (lx <= 0.0) & (0.0 <= hx) & (ly <= 0.0) & (0.0 <= hy)
+
+    def edge_x(e):
+        dy = jnp.clip(nbc * e, ly, hy)
+        return ca * e * e + 2.0 * cb * e * dy + cc * dy * dy
+
+    def edge_y(e):
+        dx = jnp.clip(nba * e, lx, hx)
+        return ca * dx * dx + 2.0 * cb * dx * e + cc * e * e
+
+    q = jnp.minimum(
+        jnp.minimum(edge_x(lx), edge_x(hx)),
+        jnp.minimum(edge_y(ly), edge_y(hy)),
+    )
+    return jnp.where(inside, 0.0, q)
+
+
 class Binning(NamedTuple):
     inst_gauss: jnp.ndarray  # [padded_cap] gaussian index per instance (N = pad)
     slab_tile: jnp.ndarray  # [padded_cap] tile id per packed slot (pad → group base)
@@ -105,12 +150,68 @@ def _group_layout(t_count, num_tiles: int, chunk: int):
     return tile_start.astype(jnp.int32), group_offsets
 
 
+def _alpha_bbox_half_extents(conic, radius, opacities):
+    """Per-axis half extents of the α ≥ 1/255 region, in pixels.
+
+    The level set α = o·exp(−Q/2) = 1/255 is the ellipse Q = 2·ln(255·o)
+    (Q = dᵀ·conic·d); its axis-aligned bounding box has half extents
+    t·sqrt(cov_xx), t·sqrt(cov_yy) with t² = 2·ln(255·o) and cov = conic⁻¹.
+    Intersecting the binning rect with this bbox drops only tiles where
+    every pixel has α < 1/255 — which the compositing kernels skip anyway
+    (ALPHA_MIN cutoff), so the cull is output-exact.  Falls back to the
+    isotropic ``radius`` where the conic is degenerate.
+    """
+    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+    det = ca * cc - cb * cb
+    ok = det > 1e-12
+    safe_det = jnp.where(ok, det, 1.0)
+    t2 = 2.0 * jnp.maximum(
+        jnp.log(255.0 * jnp.maximum(opacities, 1e-12)), 0.0
+    ) if opacities is not None else jnp.full_like(ca, 2.0 * np.log(255.0))
+    # cov_xx = cc/det, cov_yy = ca/det; +1 px absorbs f32 rounding
+    wx = jnp.sqrt(jnp.maximum(t2 * cc / safe_det, 0.0)) + 1.0
+    wy = jnp.sqrt(jnp.maximum(t2 * ca / safe_det, 0.0)) + 1.0
+    return jnp.where(ok, wx, radius), jnp.where(ok, wy, radius)
+
+
+def _tile_rect(mx, my, rx, ry, tiles_x, tiles_y):
+    """CUDA getRect tile bounds for per-axis half extents (rx, ry)."""
+    x0 = jnp.clip(jnp.floor((mx - rx) / TILE_W), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - ry) / TILE_H), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(
+        jnp.floor((mx + rx + TILE_W - 1) / TILE_W), 0, tiles_x
+    ).astype(jnp.int32)
+    y1 = jnp.clip(
+        jnp.floor((my + ry + TILE_H - 1) / TILE_H), 0, tiles_y
+    ).astype(jnp.int32)
+    return x0, y0, x1, y1
+
+
+def _binning_rect(mean2d, radius, conic, opacities, tiles_x, tiles_y):
+    """The enumerated tile rect: the radius rect (the reference's support
+    convention, mirrored by the oracle's in_rect mask) intersected with the
+    α ≥ 1/255 bounding box (output-exact shrink, big for anisotropic
+    splats whose 3σ_max circle rect overshoots the minor axis)."""
+    mx, my = mean2d[:, 0], mean2d[:, 1]
+    x0, y0, x1, y1 = _tile_rect(mx, my, radius, radius, tiles_x, tiles_y)
+    if conic is not None:
+        wx, wy = _alpha_bbox_half_extents(conic, radius, opacities)
+        ex0, ey0, ex1, ey1 = _tile_rect(mx, my, wx, wy, tiles_x, tiles_y)
+        x0 = jnp.maximum(x0, ex0)
+        y0 = jnp.maximum(y0, ey0)
+        x1 = jnp.minimum(x1, ex1)
+        y1 = jnp.minimum(y1, ey1)
+    return mx, my, x0, y0, x1, y1
+
+
 def count_instances(
     mean2d: jnp.ndarray,
     radius: jnp.ndarray,
     valid: jnp.ndarray,
     width: int,
     height: int,
+    conic: jnp.ndarray | None = None,
+    opacities: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Scalar total of (tile, gaussian) instances for a projected scene.
 
@@ -120,13 +221,14 @@ def count_instances(
     a static cap chosen from a recent count plus margin, re-jitted (rare)
     when the count outgrows it — every pipeline stage from expansion
     through gradient reduction scales with the cap, so a tight cap matters.
+    Pass ``conic``/``opacities`` to match :func:`bin_gaussians`'s
+    alpha-bbox rect (the count stays an upper bound on live instances —
+    the per-tile ellipse cull inside expansion only removes more).
     """
     tiles_x, tiles_y = tile_grid(width, height)
-    mx, my = mean2d[:, 0], mean2d[:, 1]
-    x0 = jnp.clip(jnp.floor((mx - radius) / TILE_W), 0, tiles_x)
-    y0 = jnp.clip(jnp.floor((my - radius) / TILE_H), 0, tiles_y)
-    x1 = jnp.clip(jnp.floor((mx + radius + TILE_W - 1) / TILE_W), 0, tiles_x)
-    y1 = jnp.clip(jnp.floor((my + radius + TILE_H - 1) / TILE_H), 0, tiles_y)
+    _, _, x0, y0, x1, y1 = _binning_rect(
+        mean2d, radius, conic, opacities, tiles_x, tiles_y
+    )
     counts = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
     return jnp.where(valid, counts, 0).sum().astype(jnp.int32)
 
@@ -147,6 +249,7 @@ def bin_gaussians(
     chunk: int,
     use_counting_sort: bool | None = None,
     opacities: jnp.ndarray | None = None,
+    conic: jnp.ndarray | None = None,
 ) -> Binning:
     n = mean2d.shape[0]
     tiles_x, tiles_y = tile_grid(width, height)
@@ -162,32 +265,34 @@ def bin_gaussians(
         (mean2d, depth, radius, valid)
     )
 
-    # --- tile rects (in tile units), CUDA getRect conventions -------------
-    mx, my = mean2d[:, 0], mean2d[:, 1]
-    x0 = jnp.clip(jnp.floor((mx - radius) / TILE_W), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((my - radius) / TILE_H), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(
-        jnp.floor((mx + radius + TILE_W - 1) / TILE_W), 0, tiles_x
-    ).astype(jnp.int32)
-    y1 = jnp.clip(
-        jnp.floor((my + radius + TILE_H - 1) / TILE_H), 0, tiles_y
-    ).astype(jnp.int32)
+    # --- tile rects (in tile units): CUDA getRect radius rect ∩ alpha-bbox
+    mx, my, x0, y0, x1, y1 = _binning_rect(
+        mean2d, radius, conic, opacities, tiles_x, tiles_y
+    )
     rw = jnp.maximum(x1 - x0, 0)
     rh = jnp.maximum(y1 - y0, 0)
     counts = jnp.where(valid, rw * rh, 0)
 
-    # alpha-min cull radius: beyond sqrt(2·ln(255·o))·σmax every pixel has
-    # α < 1/255 (the compositing kernels' cutoff), so rect tiles entirely
-    # outside this circle can be dropped with zero output change.  radius/3
-    # ≥ σmax (radius = ceil(3σ)), keeping the bound conservative.
-    if opacities is not None:
-        rcull = radius * (
-            jnp.sqrt(2.0 * jnp.maximum(
-                jnp.log(255.0 * jnp.maximum(opacities, 1e-12)), 0.0
-            )) / 3.0
-        )
+    # Exact per-tile ellipse cull inputs: a rect tile can be dropped iff
+    # min over its (1 px-expanded) pixel box of Q(d) = dᵀ·conic·d exceeds
+    # qthr = 2·ln(255·o) — every pixel there has α < 1/255, which the
+    # compositing kernels skip anyway, so the cull is output-exact and
+    # beats the round-3 circle test on anisotropic splats and rect corners.
+    o = opacities if opacities is not None else jnp.ones_like(radius)
+    qthr = 2.0 * jnp.maximum(jnp.log(255.0 * jnp.maximum(o, 1e-12)), 0.0)
+    if conic is not None:
+        ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+        pd = (ca > 1e-12) & (cc > 1e-12) & (ca * cc - cb * cb > 1e-12)
+        nba = jnp.where(pd, -cb / jnp.where(pd, ca, 1.0), 0.0)
+        nbc = jnp.where(pd, -cb / jnp.where(pd, cc, 1.0), 0.0)
+        ca = jnp.where(pd, ca, 0.0)
+        cb = jnp.where(pd, cb, 0.0)
+        cc = jnp.where(pd, cc, 0.0)
+        # degenerate conics never cull (Q ≡ 0 ≤ qthr)
     else:
-        rcull = radius * float(np.sqrt(2.0 * np.log(255.0)) / 3.0)
+        z = jnp.zeros_like(radius)
+        ca, cb, cc, nba, nbc = z, z, z, z, z
+    ell = EllipseCull(ca=ca, cb=cb, cc=cc, nba=nba, nbc=nbc, qthr=qthr)
 
     # --- global depth sort -------------------------------------------------
     # Zero-count Gaussians (culled, or valid-but-empty-rect at the image
@@ -212,7 +317,7 @@ def bin_gaussians(
 
         interp_x = jax.default_backend() != "tpu"
         tile, g = expand_instances(
-            offsets, order, x0, y0, rw, mean2d, rcull, instance_cap,
+            offsets, order, x0, y0, rw, mean2d, ell, instance_cap,
             tiles_x, num_tiles, tile_w=TILE_W, tile_h=TILE_H,
             interpret=interp_x,
         )
@@ -228,13 +333,17 @@ def bin_gaussians(
         grw = jnp.maximum(rw[g], 1)
         tx = x0[g] + j % grw
         ty = y0[g] + j // grw
-        # same alpha-min coverage cull as the Pallas expansion path
+        # same exact per-tile alpha cull as the Pallas expansion path
+        # (1 px-expanded pixel box absorbs f32 rounding)
         px0 = (tx * TILE_W).astype(jnp.float32)
         py0 = (ty * TILE_H).astype(jnp.float32)
         mxg, myg = mx[g], my[g]
-        dxm = jnp.maximum(jnp.maximum(px0 - mxg, mxg - (px0 + TILE_W - 1)), 0.0)
-        dym = jnp.maximum(jnp.maximum(py0 - myg, myg - (py0 + TILE_H - 1)), 0.0)
-        covered = dxm * dxm + dym * dym <= (rcull[g] + 1.0) ** 2
+        qmin = rect_min_q(
+            px0 - 1.0 - mxg, px0 + float(TILE_W) - mxg,
+            py0 - 1.0 - myg, py0 + float(TILE_H) - myg,
+            ell.ca[g], ell.cb[g], ell.cc[g], ell.nba[g], ell.nbc[g],
+        )
+        covered = qmin <= ell.qthr[g]
         live = live & covered
         tile = jnp.where(live, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
         g = jnp.where(live, g, n).astype(jnp.int32)

@@ -39,8 +39,10 @@ WIN = 1024  # candidate window granularity: two adjacent (16, WIN) windows
 ATTR_ROWS = 16
 
 # attribute-major slab rows (_A_OFF2 = offsets shifted by one rank, so the
-# kernel's one-hot is a two-indicator difference with no rank arithmetic)
-_A_OFF, _A_OFF2, _A_G, _A_X0, _A_Y0, _A_RW, _A_MX, _A_MY, _A_RC2 = range(9)
+# kernel's one-hot is a two-indicator difference with no rank arithmetic;
+# _A_CA.._A_QT feed the exact per-tile ellipse cull, see binning.EllipseCull)
+(_A_OFF, _A_OFF2, _A_G, _A_X0, _A_Y0, _A_RW, _A_MX, _A_MY,
+ _A_CA, _A_CB, _A_CC, _A_NBA, _A_NBC, _A_QT) = range(14)
 
 
 def _mxu_t(x):
@@ -110,23 +112,39 @@ def _expand_kernel_factory(tiles_x: int, num_tiles: int, n: int,
             tyc = y0 + jy
             tile = tyc * float(tiles_x) + txc
 
-            # coverage cull: drop rect tiles whose whole pixel box lies
-            # beyond the per-Gaussian alpha-min radius (rc² row) — every
-            # pixel there has α < 1/255, so the compositing kernels would
-            # zero it anyway; culling is output-exact and shrinks the
-            # packed stream (rect corners, ~10-20%).
+            # exact ellipse cull: drop rect tiles where min over the
+            # (1 px-expanded) pixel box of Q = dᵀ·conic·d exceeds
+            # 2·ln(255·o) — every pixel there has α < 1/255, so the
+            # compositing kernels would zero it anyway; output-exact, and
+            # tighter than a circle test on anisotropic splats and rect
+            # corners (binning.rect_min_q, 4-edge closed form, no divides).
             mx = a[:, _A_MX : _A_MX + 1]
             my = a[:, _A_MY : _A_MY + 1]
-            rc2 = a[:, _A_RC2 : _A_RC2 + 1]
+            ca = a[:, _A_CA : _A_CA + 1]
+            cb = a[:, _A_CB : _A_CB + 1]
+            cc = a[:, _A_CC : _A_CC + 1]
+            nba = a[:, _A_NBA : _A_NBA + 1]
+            nbc = a[:, _A_NBC : _A_NBC + 1]
+            qthr = a[:, _A_QT : _A_QT + 1]
             px0 = txc * float(tile_w)
             py0 = tyc * float(tile_h)
-            dxm = jnp.maximum(
-                jnp.maximum(px0 - mx, mx - (px0 + float(tile_w - 1))), 0.0
-            )
-            dym = jnp.maximum(
-                jnp.maximum(py0 - my, my - (py0 + float(tile_h - 1))), 0.0
-            )
-            covered = dxm * dxm + dym * dym <= rc2
+            lx = px0 - 1.0 - mx
+            hx = px0 + float(tile_w) - mx
+            ly = py0 - 1.0 - my
+            hy = py0 + float(tile_h) - my
+            inside = (lx <= 0.0) & (0.0 <= hx) & (ly <= 0.0) & (0.0 <= hy)
+            dy_l = jnp.clip(nbc * lx, ly, hy)
+            dy_h = jnp.clip(nbc * hx, ly, hy)
+            dx_l = jnp.clip(nba * ly, lx, hx)
+            dx_h = jnp.clip(nba * hy, lx, hx)
+            q_xl = ca * lx * lx + 2.0 * cb * lx * dy_l + cc * dy_l * dy_l
+            q_xh = ca * hx * hx + 2.0 * cb * hx * dy_h + cc * dy_h * dy_h
+            q_yl = ca * dx_l * dx_l + 2.0 * cb * dx_l * ly + cc * ly * ly
+            q_yh = ca * dx_h * dx_h + 2.0 * cb * dx_h * hy + cc * hy * hy
+            qmin = jnp.minimum(jnp.minimum(q_xl, q_xh),
+                               jnp.minimum(q_yl, q_yh))
+            qmin = jnp.where(inside, 0.0, qmin)
+            covered = qmin <= qthr
 
             live = (ic < total) & covered
             tile = jnp.where(live, tile, float(num_tiles))
@@ -190,7 +208,7 @@ def expand_instances(
     order: jnp.ndarray,  # [N] depth order (gaussian index per rank)
     x0, y0, rw,  # [N] tile-rect data (UNORDERED, indexed by gaussian)
     mean2d: jnp.ndarray,  # [N, 2] screen-space means (for coverage cull)
-    rcull: jnp.ndarray,  # [N] alpha-min cull radius in pixels
+    ell,  # binning.EllipseCull: exact per-tile alpha-cull data
     instance_cap: int,
     tiles_x: int,
     num_tiles: int,
@@ -200,8 +218,9 @@ def expand_instances(
 ):
     """Expand per-Gaussian tile rects into per-instance (tile, gaussian).
 
-    Rect tiles whose pixel box lies entirely beyond ``rcull`` of the mean
-    are dropped (their alpha is provably < 1/255 everywhere — output-exact).
+    Rect tiles where the minimum of the conic quadratic over the pixel box
+    exceeds the alpha threshold are dropped (their alpha is provably
+    < 1/255 everywhere — output-exact; see binning.EllipseCull).
 
     Returns (tile [instance_cap] int32 with `num_tiles` sentinel,
     gauss [instance_cap] int32 with `n` sentinel).
@@ -237,8 +256,12 @@ def expand_instances(
     attrs = attrs.at[_A_RW].set(row(rw))
     attrs = attrs.at[_A_MX].set(row(mean2d[:, 0]))
     attrs = attrs.at[_A_MY].set(row(mean2d[:, 1]))
-    # +1px margin absorbs f32 rounding of the distance test
-    attrs = attrs.at[_A_RC2].set(row((rcull + 1.0) ** 2))
+    attrs = attrs.at[_A_CA].set(row(ell.ca))
+    attrs = attrs.at[_A_CB].set(row(ell.cb))
+    attrs = attrs.at[_A_CC].set(row(ell.cc))
+    attrs = attrs.at[_A_NBA].set(row(ell.nba))
+    attrs = attrs.at[_A_NBC].set(row(ell.nbc))
+    attrs = attrs.at[_A_QT].set(row(ell.qthr))
 
     block_starts = jnp.arange(n_blocks, dtype=jnp.int32) * BLOCK
     grank_start = jnp.clip(

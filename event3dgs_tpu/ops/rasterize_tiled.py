@@ -683,7 +683,7 @@ def _build_rasterizer(
         binning = bin_gaussians(
             sg(mean2d), sg(depth), sg(radius), sg(validf) > 0.5,
             width, height, instance_cap, chunk,
-            opacities=sg(opacities),
+            opacities=sg(opacities), conic=sg(conic),
         )
         packed = pack_instances(binning, mean2d, conic, colors, opacities)
         nu, gsize = grid_arg(binning)

@@ -50,6 +50,7 @@ def synthesize_scene(
     blur_steps: int = 0,
     scale_min: float = 0.04,
     scale_max: float = 0.14,
+    rasterizer: str = "reference",
 ) -> dict:
     import jax.numpy as jnp
 
@@ -117,7 +118,7 @@ def synthesize_scene(
     for i, cam in enumerate(cams):
         img = np.clip(np.array(
             render(means, feats, opac_j, scales_j, quats_j, cam, bg,
-                   sh_degree=0).image
+                   sh_degree=0, rasterizer=rasterizer).image
         ), 0.0, 1.0)
         rendered.append(img)
         name = f"r_{i:05d}.png"
@@ -142,7 +143,7 @@ def synthesize_scene(
             cam = make_camera(r, t, fov_x, fov_y, width, height)
             acc += np.clip(np.array(
                 render(means, feats, opac_j, scales_j, quats_j, cam, bg,
-                       sh_degree=0).image
+                       sh_degree=0, rasterizer=rasterizer).image
             ), 0.0, 1.0)
         save_image(
             os.path.join(out_dir, "images_blurry", f"r_{i:05d}.png"),
@@ -201,6 +202,8 @@ def main(argv=None):
     p.add_argument("--scale_min", type=float, default=0.04)
     p.add_argument("--scale_max", type=float, default=0.14)
     p.add_argument("--arc", type=float, default=2.0 * np.pi)
+    p.add_argument("--rasterizer", type=str, default="reference",
+                   choices=["reference", "tiled"])
     args = p.parse_args(argv)
     meta = synthesize_scene(
         args.output, args.views, args.width, args.height, args.gaussians,
@@ -208,6 +211,7 @@ def main(argv=None):
         white_background=args.white_background,
         blur_steps=args.blur_steps,
         scale_min=args.scale_min, scale_max=args.scale_max,
+        rasterizer=args.rasterizer,
     )
     print(f"wrote {meta['n_views']}-view scene to {args.output}")
     return 0

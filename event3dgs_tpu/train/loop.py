@@ -65,7 +65,8 @@ def _probe_instance_count(params, camera):
         opacities=act.opacities,
     )
     return count_instances(
-        proj.mean2d, proj.radius, proj.valid, camera.width, camera.height
+        proj.mean2d, proj.radius, proj.valid, camera.width, camera.height,
+        conic=proj.conic, opacities=act.opacities,
     )
 
 
