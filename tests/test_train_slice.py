@@ -211,3 +211,48 @@ class TestBaselineConfig1:
             rasterizer="tiled",
         )
         assert out["PSNR"] > 14.0, out
+
+
+class TestInstanceCapRecheck:
+    def test_post_densify_window_cap_growth(self, scene, monkeypatch):
+        """After densify_until_iter, growing splats must trigger a cap
+        re-measurement + step rebuild instead of silently dropping
+        instances (advisor r3 finding).  Forced here by patching the
+        measurement to report an outgrown budget."""
+        import event3dgs_tpu.train.loop as loop_mod
+        from event3dgs_tpu.train import train_loop
+        from event3dgs_tpu.utils.config import TrainConfig
+
+        state = build_state(scene)
+        data = SceneData(cameras=scene.cameras, images=scene.images)
+        cfg = TrainConfig(
+            optimization=OptimizationConfig(
+                densify_from_iter=10_000, densify_until_iter=0,
+            )
+        )
+        cfg.pipeline.rasterizer = "tiled"
+        monkeypatch.setattr(loop_mod, "INSTANCE_RECHECK_INTERVAL", 4)
+
+        real_measure = loop_mod.measure_instance_cap
+        calls = []
+
+        def fake_measure(params, cameras, **kw):
+            base = real_measure(params, cameras, **kw)
+            calls.append(base)
+            # first call sizes the step; later (recheck) calls report an
+            # outgrown scene
+            return base if len(calls) == 1 else base * 4
+
+        monkeypatch.setattr(loop_mod, "measure_instance_cap", fake_measure)
+        seen = []
+        from event3dgs_tpu.train.loop import TrainCallbacks
+
+        res = train_loop(
+            state, data, cfg, "rgb", scene.extent, iterations=8,
+            callbacks=TrainCallbacks(
+                on_metrics=lambda it, m: seen.append(m), log_every=100,
+            ),
+        )
+        assert len(calls) >= 2  # recheck fired past the densify window
+        assert any("instance_cap" in m for m in seen)  # cap grew + rebuilt
+        assert np.isfinite(res.history).all()
