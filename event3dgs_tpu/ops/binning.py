@@ -264,6 +264,10 @@ def bin_gaussians(
     mean2d, depth, radius, valid = jax.lax.optimization_barrier(
         (mean2d, depth, radius, valid)
     )
+    if conic is not None:
+        conic = jax.lax.optimization_barrier(conic)
+    if opacities is not None:
+        opacities = jax.lax.optimization_barrier(opacities)
 
     # --- tile rects (in tile units): CUDA getRect radius rect ∩ alpha-bbox
     mx, my, x0, y0, x1, y1 = _binning_rect(
