@@ -164,7 +164,7 @@ def main(argv=None):
     else:
         result = train_loop(state, data, cfg, mode, extent, callbacks=callbacks)
     print(
-        f"\nTraining complete: {len(result.history)} iterations in "
+        f"\nTraining complete: {int(result.state.step)} iterations in "
         f"{result.wall_time:.1f}s "
         f"({len(result.history) / max(result.wall_time, 1e-9):.1f} it/s)"
     )

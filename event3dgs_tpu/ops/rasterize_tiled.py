@@ -323,7 +323,25 @@ def _make_fwd_kernel(chunk: int, total_chunks: int):
             ltc[...] = jnp.zeros_like(ltc)
 
         lt = ltc[...]  # (Q, 8)
-        do_work = (live_ref[k] > 0) & (jnp.max(lt) > LOG_T_SKIP)
+        # Early-out at the granularity of the chunk's OWN tiles: a chunk is
+        # dead when every tile its lanes belong to is saturated (all pixels
+        # logT < LOG_T_SKIP) — tiles of the group the chunk doesn't touch
+        # don't keep it alive (the round-3 group-wide max did, which on
+        # depth-skewed groups left long saturated runs executing).  The
+        # per-lane tile max arrives via a tiny (1, 8)×(8, chunk) one-hot
+        # matmul from the slab's group-local row; pad lanes map to the
+        # group's base tile, which can only over-keep (conservative).
+        m8 = jnp.max(lt, axis=0, keepdims=True)  # (1, 8) per-tile max logT
+        glr = packed_ref[_GL : _GL + 1, :]  # (1, chunk)
+        gid8 = jax.lax.broadcasted_iota(
+            jnp.int32, (GROUP, chunk), 0
+        ).astype(jnp.float32)
+        oneh_pre = (gid8 == glr).astype(jnp.bfloat16)
+        lane_max = jax.lax.dot(
+            m8.astype(jnp.bfloat16), oneh_pre,
+            preferred_element_type=jnp.float32,
+        )  # (1, chunk); bf16 rounding of m8 is ≪ the threshold margin
+        do_work = (live_ref[k] > 0) & (jnp.max(lane_max) > LOG_T_SKIP)
         # per-chunk work flag lives in SMEM (scalar memory): a (1,1) VMEM
         # block would violate Mosaic's (8,128) min-tile rule, and the flags
         # are consumed scalar-prefetched by the backward kernel anyway.

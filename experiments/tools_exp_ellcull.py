@@ -12,7 +12,10 @@ Run on TPU: python experiments/tools_exp_ellcull.py
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import numpy as np
 import jax
@@ -36,7 +39,12 @@ def scene():
     scales = (np.exp(rng.uniform(np.log(0.005), np.log(0.03), (N, 1)))
               * rng.uniform(0.7, 1.4, (N, 3)))
     rots = rng.normal(size=(N, 4))
-    opac = rng.uniform(0.3, 0.9, N)
+    # OPAQUE=1: near-opaque splats — the per-tile chunk early-out regime
+    # (transmittance saturates after a few composites per pixel)
+    if os.environ.get("OPAQUE", "") not in ("", "0"):
+        opac = rng.uniform(0.85, 0.99, N)
+    else:
+        opac = rng.uniform(0.3, 0.9, N)
     colors = rng.uniform(0, 1, (N, 3))
     return map(lambda a: jnp.asarray(a, jnp.float32),
                (means, scales, rots, opac, colors))

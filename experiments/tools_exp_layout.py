@@ -11,7 +11,10 @@ Run on TPU: python experiments/tools_exp_layout.py
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import numpy as np
 import jax
@@ -62,7 +65,26 @@ def main():
 
     print("prefix scan [N,16] ", timeit(scan16, x16), "ms")
 
-    for shape, arr in (("[N,16]", x16), ("[N/8,128]", x128)):
+    # narrow-minor-dim arrays: the projection outputs (mean2d [N,2],
+    # conic [N,3]) cross the binning fusion firewall as materialized
+    # arrays; if the TPU pads the minor dim to the 128-lane tile, every
+    # HBM pass over them costs 64x/42x the useful bytes.
+    x2 = jnp.asarray(rng.normal(size=(N, 2)), jnp.float32)
+    x3 = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32)
+    xf = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
+    print("copy [N,2]         ", timeit(copy16, x2), "ms")
+    print("copy [N,3]         ", timeit(copy16, x3), "ms")
+    print("copy [N] flat      ", timeit(copy16, xf), "ms")
+
+    @jax.jit
+    def barrier_roundtrip(a):
+        b = jax.lax.optimization_barrier(a)
+        return jnp.sum(b, axis=-1)
+
+    print("barrier+rowsum [N,2]", timeit(barrier_roundtrip, x2), "ms")
+
+    for shape, arr in (("[N,16]", x16), ("[N/8,128]", x128),
+                       ("[N,2]", x2), ("[N,3]", x3), ("[N]", xf)):
         ma = jax.jit(lambda a: a * 2.0).lower(arr).compile().memory_analysis()
         print(f"memory {shape}: arg={ma.argument_size_in_bytes} "
               f"out={ma.output_size_in_bytes} temp={ma.temp_size_in_bytes}")
