@@ -304,7 +304,22 @@ def bin_gaussians(
     # rank increasing by at most 1 per instance within the live range.
     depth_eff = jnp.where(counts > 0, depth, jnp.inf)
     order = jnp.argsort(depth_eff)
-    counts_o = counts[order]
+    # ONE wide row gather reorders counts + every expansion attribute into
+    # depth order: XLA TPU gathers cost ~10 ns per ROW regardless of width,
+    # so 12 narrow 1-D gathers (the round-4 formulation) cost ~12× this
+    # (measured ~10 ms at N=100k — it dominated the whole binning stage).
+    table = jnp.stack(
+        [
+            counts.astype(jnp.float32),
+            x0.astype(jnp.float32), y0.astype(jnp.float32),
+            rw.astype(jnp.float32),
+            mx, my,
+            ell.ca, ell.cb, ell.cc, ell.nba, ell.nbc, ell.qthr,
+        ],
+        axis=1,
+    )  # [N, 12]; all integer entries < 2²⁴ → f32-exact
+    table_o = jnp.take(table, order, axis=0)
+    counts_o = table_o[:, 0].astype(counts.dtype)
     # associative_scan, NOT jnp.cumsum: XLA sometimes lowers large cumsums
     # to an O(n²) convolution on TPU (observed: ~130 ms for 100k elements)
     offsets = jnp.concatenate(
@@ -321,7 +336,7 @@ def bin_gaussians(
 
         interp_x = jax.default_backend() != "tpu"
         tile, g = expand_instances(
-            offsets, order, x0, y0, rw, mean2d, ell, instance_cap,
+            offsets, order, table_o[:, 1:], instance_cap,
             tiles_x, num_tiles, tile_w=TILE_W, tile_h=TILE_H,
             interpret=interp_x,
         )
