@@ -382,7 +382,6 @@ def bin_gaussians(
         inst_gauss = jnp.full((padded_cap,), n, jnp.int32).at[dest].set(
             g, mode="drop"
         )
-        slab_tile_src = tile
         dest_exp = dest  # expansion order == creation order in this path
     else:
         # XLA fallback: packed single-key sort when (tile, index) fits int32,
@@ -416,7 +415,6 @@ def bin_gaussians(
         inst_gauss = jnp.full((padded_cap,), n, jnp.int32).at[dest].set(
             s_g, mode="drop"
         )
-        slab_tile_src = s_tile
         # dest is in tile-sorted order; un-permute to expansion order
         dest_exp = (
             jnp.full((instance_cap,), padded_cap, dest.dtype)
@@ -448,12 +446,30 @@ def bin_gaussians(
     ).astype(jnp.int32)
 
     # tile id per packed slot (pad slots → their group's base tile so the
-    # group-local index stays in [0, 8) and sentinel lanes are harmless)
-    slab_tile = (
-        jnp.full((padded_cap,), 0, jnp.int32)
-        .at[dest]
-        .set(slab_tile_src, mode="drop")
-    )
+    # group-local index stays in [0, 8) and sentinel lanes are harmless).
+    # Derived ARITHMETICALLY from the per-group tile starts — a slot's tile
+    # is the last of its group's 8 tiles whose packed range starts at or
+    # before it.  The round-4 formulation scattered tile ids through the
+    # `dest` permutation (`.at[dest].set`), a ~10 ns/row serialized XLA
+    # scatter (~1.3 ms here); this is a [n_chunks, chunk, 8] compare-sum —
+    # a few million vector ops.  Empty tiles share their successor's start
+    # and the compare-sum picks the later tile, exactly like
+    # searchsorted(side="right") - 1.
+    starts_pad = jnp.full(
+        (n_groups * GROUP,), jnp.iinfo(jnp.int32).max, jnp.int32
+    ).at[:num_tiles].set(tile_start)
+    starts8 = starts_pad.reshape(n_groups, GROUP)[chunk_group]  # [n_chunks, 8]
+    slots = (
+        kk[:, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    )  # [n_chunks, chunk]
+    loc = (
+        jnp.sum(
+            (starts8[:, None, :] <= slots[:, :, None]).astype(jnp.int32),
+            axis=-1,
+        )
+        - 1
+    )  # group-local tile index per slot
+    slab_tile = (chunk_group[:, None] * GROUP + loc).reshape(-1)
     # broadcast, NOT a gather: chunk_group repeated chunk times per slot
     slot_group = jnp.broadcast_to(
         chunk_group[:, None], (n_chunks, chunk)
@@ -515,7 +531,15 @@ def pack_instances(
     ox = ((t % binning.num_tiles_x) * TILE_W).astype(jnp.float32)
     oy = ((t // binning.num_tiles_x) * TILE_H).astype(jnp.float32)
     gl = (t % GROUP).astype(jnp.float32)
-    gathered = gathered.at[:, ROW_MX].add(-ox)
-    gathered = gathered.at[:, ROW_MY].add(-oy)
-    out = jnp.concatenate([gathered, gl[:, None]], axis=1)  # [padded_cap, 10]
+    # pure concatenation — `.at[:, col].add()` column updates lower to XLA
+    # scatters, which serialize at ~10 ns/row on TPU (measured ~4 ms at
+    # this size; the whole gather above costs the same)
+    out = jnp.concatenate(
+        [
+            gathered[:, :2] - jnp.stack([ox, oy], axis=1),
+            gathered[:, 2:],
+            gl[:, None],
+        ],
+        axis=1,
+    )  # [padded_cap, 10]
     return jnp.pad(out.T, ((0, PACK_ROWS - out.shape[1]), (0, 0)))

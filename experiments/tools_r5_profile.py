@@ -45,13 +45,11 @@ interp = jax.default_backend() != "tpu"
 def timed(name, fn, *args, iters=ITERS):
     out = fn(*args, jnp.float32(0.0))
     jax.block_until_ready(out)
-    ts = []
+    t0 = time.perf_counter()
     for i in range(iters):
-        t0 = time.perf_counter()
         out = fn(*args, jnp.float32(1e-6 * (i + 1)))
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    dt = float(np.median(ts))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
     print(f"{name:34s} {dt*1e3:9.2f} ms")
     return dt
 
