@@ -163,10 +163,13 @@ def main(argv=None):
         )
     else:
         result = train_loop(state, data, cfg, mode, extent, callbacks=callbacks)
+    # one unit per figure: optimizer steps drive the rate; views consumed
+    # reported separately (they differ by B in exact-exchange gauss mode)
+    n_steps = len(result.history)
     print(
-        f"\nTraining complete: {int(result.state.step)} iterations in "
-        f"{result.wall_time:.1f}s "
-        f"({len(result.history) / max(result.wall_time, 1e-9):.1f} it/s)"
+        f"\nTraining complete: {n_steps} optimizer steps "
+        f"({int(result.state.step)} views) in {result.wall_time:.1f}s "
+        f"({n_steps / max(result.wall_time, 1e-9):.1f} steps/s)"
     )
     if gui is not None:
         gui.stop()

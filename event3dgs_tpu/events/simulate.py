@@ -152,12 +152,22 @@ def generate_event_frames(
     else:
         dest = out_dir
 
-    if frac == 1.0:
+    if spec is None:
+        # generic path: stream-relative buckets (the reference's
+        # `display_events` viewer semantics — first bucket starts at the
+        # first event's timestamp)
         data = window_events(ts, xs, ys, ps, delta_t)
         windows = [(w["x"], w["y"], w["p"]) for w in data.events]
+        if total_frames is not None:
+            windows = windows[:total_frames]
     else:
-        # fractional windows [i·dt, (i+frac)·dt) — the EDS/T/TUM-VIE
-        # variants accumulate only the leading fraction of each interval
+        # every dataset layout uses ABSOLUTE windows [i·dt, (i+frac)·dt)
+        # and emits exactly total_frames frames (empty ones included) —
+        # the full-window layouts ('default', 'volt') previously reused the
+        # stream-relative buckets, which time-shifted frames for streams
+        # not starting near t=0 and under-produced files for sparse tails,
+        # deviating both from the reference's absolute-indexed fixed-count
+        # output and from this function's own fractional path.
         if total_frames is not None:
             n = total_frames
         elif len(ts):
@@ -169,8 +179,6 @@ def generate_event_frames(
             lo, hi = i * delta_t, (i + frac) * delta_t
             m = (ts >= lo) & (ts < hi)
             windows.append((xs[m], ys[m], ps[m]))
-    if total_frames is not None:
-        windows = windows[:total_frames]
 
     frames = []
     for i, (wx, wy, wp) in enumerate(windows):

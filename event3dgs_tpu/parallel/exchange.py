@@ -30,8 +30,9 @@ The ``gauss`` axis therefore renders K distinct views per step instead of
 replicating work: a (data=D, gauss=K) mesh consumes D·K views per step.
 
 Communication per camera per device: 11·C/K·4 bytes of all_to_all (C =
-total capacity) plus one C-sized opacity all_gather per step — independent
-of image resolution, and it rides the ICI ``gauss`` axis.  Gradients flow
+total capacity) plus one C-sized opacity all_gather **per render call**
+(three per view in event mode) — independent of image resolution, and it
+rides the ICI ``gauss`` axis.  Gradients flow
 back through the collectives (all_to_all transposes to the reverse
 all_to_all, all_gather to psum_scatter), so each shard receives exactly the
 summed sensitivities of all peer views to its own Gaussians — verified
