@@ -86,6 +86,13 @@ def add_event_args(p: argparse.ArgumentParser):
         "--event_opacity_reset_interval", type=int,
         default=d.opacity_reset_interval,
     )
+    p.add_argument(
+        "--contrast_parameterization", choices=("identity", "softplus"),
+        default=d.contrast_parameterization,
+        help="'identity' = the reference's unconstrained c (faithful "
+             "default); 'softplus' = opt-in positivity guard (deviation) "
+             "preventing the event term from self-amputating via c<0",
+    )
 
 
 def config_from_args(args) -> TrainConfig:
@@ -124,6 +131,9 @@ def config_from_args(args) -> TrainConfig:
             event_lambda_dssim=getattr(args, "event_lambda_dssim", 0.0),
             opacity_reset_interval=getattr(
                 args, "event_opacity_reset_interval", 10_000
+            ),
+            contrast_parameterization=getattr(
+                args, "contrast_parameterization", "identity"
             ),
         ),
     )
@@ -190,9 +200,14 @@ def load_scene_and_state(cfg: TrainConfig):
         np.asarray(pcd.points), np.asarray(pcd.colors), capacity,
         max_sh_degree=m.sh_degree,
     )
+    from event3dgs_tpu.losses.event import raw_contrast_init
+
     state = init_train_state(
         params, spatial_lr_scale=info.radius,
-        contrast_init=cfg.event.contrast_init, max_sh_degree=m.sh_degree,
+        contrast_init=raw_contrast_init(
+            cfg.event.contrast_init, cfg.event.contrast_parameterization
+        ),
+        max_sh_degree=m.sh_degree,
     )
     return info, data, state, info.radius
 

@@ -19,6 +19,34 @@ from event3dgs_tpu.losses.basic import l1_loss, rgb_to_grayscale, rgb_to_luv_l
 LOG_EPS = 1e-8  # epsilon inside the logs (`loss_utils.py:243`)
 
 
+def effective_contrast(raw, parameterization: str = "identity"):
+    """Map the optimized scalar to the contrast used by the loss.
+
+    "identity" is the reference's unconstrained c (`train.py:71-72`).
+    "softplus" is an opt-in guard (config `contrast_parameterization`):
+    c = softplus(raw) > 0, preventing the drift-to-negative failure where
+    the event diff scales itself toward zero and the event term silently
+    dies (observed in deblur runs, RESULTS_r4 config 3).
+    """
+    if parameterization == "softplus":
+        # +1e-4 floor: softplus underflows to exactly 0 below raw ~ -90 in
+        # f32 and the loss divides by c
+        return jax.nn.softplus(raw) + 1e-4
+    if parameterization != "identity":
+        raise ValueError(f"unknown contrast parameterization "
+                         f"{parameterization!r}")
+    return raw
+
+
+def raw_contrast_init(c_init: float, parameterization: str = "identity"):
+    """Host-side inverse of :func:`effective_contrast` for state init."""
+    if parameterization == "softplus":
+        import numpy as np
+
+        return float(np.log(np.expm1(c_init - 1e-4)))
+    return c_init
+
+
 def event_log_diff(image, image_next, contrast) -> jnp.ndarray:
     """Normalized log-intensity difference between consecutive frames.
 

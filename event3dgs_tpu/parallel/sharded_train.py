@@ -60,6 +60,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from event3dgs_tpu.losses.event import effective_contrast
 from event3dgs_tpu.losses.modes import (
     deblur_mix,
     event_total_loss,
@@ -259,7 +260,9 @@ def make_sharded_train_step(
                     data.event_images[inow],
                     data.event_images[inext],
                     gt_main,
-                    contrast,
+                    effective_contrast(
+                        contrast, event_cfg.contrast_parameterization
+                    ),
                     gt_contrast=event_cfg.gt_contrast,
                     event_weight=event_cfg.event_weight,
                 )
@@ -355,7 +358,9 @@ def make_sharded_train_step(
         )
         metrics = {
             "loss": jax.lax.psum(loss, loss_axes),
-            "contrast": new_contrast,
+            "contrast": effective_contrast(
+                new_contrast, event_cfg.contrast_parameterization
+            ),
             "num_visible": jax.lax.psum(jnp.sum(any_vis), GAUSS_AXIS),
         }
         new_state = state.replace(

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from event3dgs_tpu.core.schedules import exponential_lr
+from event3dgs_tpu.losses.event import effective_contrast
 from event3dgs_tpu.losses.modes import (
     deblur_mix,
     event_total_loss,
@@ -150,7 +151,9 @@ def make_train_step(
                     data.event_images[idx_now],
                     data.event_images[idx_next],
                     gt_main,
-                    contrast,
+                    effective_contrast(
+                        contrast, event_cfg.contrast_parameterization
+                    ),
                     gt_contrast=event_cfg.gt_contrast,
                     event_weight=event_cfg.event_weight,
                 )
@@ -193,7 +196,10 @@ def make_train_step(
         metrics = {
             "loss": loss,
             "l1": aux.get("l1", aux.get("event_l1", loss)),
-            "contrast": new_contrast,
+            "contrast": effective_contrast(
+                new_contrast, event_cfg.contrast_parameterization
+            ),
+            "contrast_raw": new_contrast,
             "num_visible": jnp.sum(aux["visibility"]),
         }
         for k in ("event_l1", "intensity_l1", "coverage", "blur_l1"):

@@ -80,6 +80,13 @@ class EventConfig:
 
     contrast_init: float = 0.17  # learnable c init (`train.py:71`)
     contrast_lr: float = 0.1  # its Adam LR (`train.py:72`)
+    # "identity" is the reference's unconstrained c (`train.py:71-72`),
+    # which can drift negative and silently kill the event term (observed
+    # in deblur runs: c -> -5.9 scales the simulated event diff toward 0).
+    # "softplus" is an opt-in DEVIATION: the optimized scalar is
+    # unconstrained but the loss uses softplus(raw) > 0, so the event
+    # signal cannot self-amputate.
+    contrast_parameterization: str = "identity"  # or "softplus"
     gt_contrast: float = 0.17  # GT pair threshold (`train.py:170`)
     event_weight: float = 0.9  # event/intensity mix (`train.py:187`)
     blur_alpha: float = 0.5  # deblur mix (`train.py:201`)

@@ -77,6 +77,47 @@ class TestTrainStep:
         assert np.isfinite(float(m["loss"]))
         assert 0.0 <= float(m["coverage"]) <= 1.0
 
+    def test_softplus_contrast_guard(self, scene):
+        """Opt-in contrast_parameterization="softplus" (deviation from the
+        reference's unconstrained c, `train.py:71-72`): the loss-side
+        contrast stays positive, and at init it matches the identity
+        parameterization exactly (raw init is the softplus inverse)."""
+        from dataclasses import replace as dc_replace
+
+        from event3dgs_tpu.losses.event import (
+            effective_contrast, raw_contrast_init,
+        )
+
+        raw = raw_contrast_init(0.17, "softplus")
+        np.testing.assert_allclose(
+            float(effective_contrast(jnp.asarray(raw), "softplus")), 0.17,
+            rtol=1e-6,
+        )
+        data = SceneData(
+            cameras=scene.cameras,
+            images=scene.images,
+            event_cameras=scene.cameras,
+            event_images=scene.images,
+        )
+        cfg = TrainConfig()
+        ev_soft = dc_replace(cfg.event, contrast_parameterization="softplus")
+        args = (data, jnp.asarray(3), jnp.asarray(3), jnp.asarray(4),
+                jnp.zeros(3))
+        s_id = build_state(scene)
+        step_id = make_train_step("event", cfg.optimization, cfg.event,
+                                  spatial_lr_scale=s_id.spatial_lr_scale)
+        s_id, m_id = step_id(s_id, *args)
+        s_sp = build_state(scene).replace(contrast=jnp.asarray(raw))
+        step_sp = make_train_step("event", cfg.optimization, ev_soft,
+                                  spatial_lr_scale=s_sp.spatial_lr_scale)
+        s_sp, m_sp = step_sp(s_sp, *args)
+        # identical first-step loss (same effective contrast at init)
+        np.testing.assert_allclose(float(m_sp["loss"]), float(m_id["loss"]),
+                                   rtol=1e-5)
+        # guarded contrast is positive however the raw scalar moves
+        assert float(m_sp["contrast"]) > 0.0
+        assert float(effective_contrast(jnp.asarray(-100.0), "softplus")) > 0
+
     def test_stats_accumulate(self, scene):
         state = build_state(scene)
         data = SceneData(cameras=scene.cameras, images=scene.images)
