@@ -33,14 +33,16 @@ from event3dgs_tpu.events.simulate import (
 )
 
 
-def _frames_from_stream(path, fmt, delta_t, out_dir, style, width, height):
+def _frames_from_stream(path, fmt, delta_t, out_dir, style, width, height,
+                        layout=None, total_frames=None):
     data = WINDOWED_READERS[fmt](path, delta_t)
     w = width or data.width
     h = height or data.height
     buf = EventBuffer()
     for window in data.events:
         buf.add_array(window["t"], window["x"], window["y"], window["p"])
-    return generate_event_frames(buf, w, h, delta_t, out_dir, style=style)
+    return generate_event_frames(buf, w, h, delta_t, out_dir, style=style,
+                                 layout=layout, total_frames=total_frames)
 
 
 def _frames_from_images(images_dir, dt, delta_t, out_dir, style, sim_kwargs):
@@ -79,12 +81,24 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=0)
     p.add_argument("--height", type=int, default=0)
     p.add_argument("--output", "-o", type=str, required=True)
+    from event3dgs_tpu.events.simulate import ACCUMULATION_LAYOUTS
+
+    p.add_argument("--layout", choices=sorted(ACCUMULATION_LAYOUTS),
+                   default=None,
+                   help="dataset-specific accumulation layout "
+                        "(absolute windows + the reference's filename "
+                        "pattern, `event_tools.py:84-160`); default keeps "
+                        "the generic stream-relative events_%%05d.png")
+    p.add_argument("--total_frames", type=int, default=None,
+                   help="emit exactly this many frames (layouts pad with "
+                        "empty windows)")
     args = p.parse_args(argv)
 
     if args.events:
         frames = _frames_from_stream(
             args.events, args.format, args.delta_t, args.output,
             args.style, args.width, args.height,
+            layout=args.layout, total_frames=args.total_frames,
         )
     else:
         frames = _frames_from_images(

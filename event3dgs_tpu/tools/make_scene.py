@@ -51,6 +51,7 @@ def synthesize_scene(
     scale_min: float = 0.04,
     scale_max: float = 0.14,
     rasterizer: str = "reference",
+    init_fraction: float = 1.0,
 ) -> dict:
     import jax.numpy as jnp
 
@@ -174,6 +175,18 @@ def synthesize_scene(
     sparse = os.path.join(out_dir, "sparse", "0")
     init_pts = pts + rng.normal(size=pts.shape) * init_noise
     init_rgb = np.clip(cols * 255.0, 0, 255)
+    if init_fraction < 1.0:
+        # sparse initialization (densification stress): keep only a random
+        # fraction of the true points — clone/split must rediscover the
+        # rest (the regime where the reference's policy shows large gains,
+        # `scene/gaussian_model.py:349-407`)
+        keep = rng.choice(
+            n_gaussians,
+            size=max(int(round(n_gaussians * init_fraction)), 1),
+            replace=False,
+        )
+        init_pts = init_pts[keep]
+        init_rgb = init_rgb[keep]
     write_model(colmap_cams, colmap_images, (init_pts, init_rgb), sparse)
     store_point_cloud(
         os.path.join(sparse, "points3D.ply"), init_pts, init_rgb
@@ -202,6 +215,9 @@ def main(argv=None):
     p.add_argument("--scale_min", type=float, default=0.04)
     p.add_argument("--scale_max", type=float, default=0.14)
     p.add_argument("--arc", type=float, default=2.0 * np.pi)
+    p.add_argument("--init_fraction", type=float, default=1.0,
+                   help="fraction of true points kept in the init cloud "
+                        "(sparse-init densification stress)")
     p.add_argument("--rasterizer", type=str, default="reference",
                    choices=["reference", "tiled"])
     args = p.parse_args(argv)
@@ -212,6 +228,7 @@ def main(argv=None):
         blur_steps=args.blur_steps,
         scale_min=args.scale_min, scale_max=args.scale_max,
         rasterizer=args.rasterizer,
+        init_fraction=args.init_fraction,
     )
     print(f"wrote {meta['n_views']}-view scene to {args.output}")
     return 0

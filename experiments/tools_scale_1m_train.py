@@ -8,6 +8,10 @@ production train_loop (densification off — capacity is the point here).
 Reports the loss curve, it/s, and memory-relevant counts.
 
 Run on TPU: python experiments/tools_scale_1m_train.py  [ITERS=300]
+
+DENSIFY=1 (round 5): start with ~900k alive of the 1M capacity and run the
+densification machinery every 50 iterations — clone/split/prune and the
+capacity-growth path have never executed at this scale before.
 """
 
 import os
@@ -73,9 +77,11 @@ def main():
 
     # 1M-slot model: true points replicated 10x with noise (the init must
     # be learned back toward the truth, and every slot is alive)
-    reps = CAPACITY // N_TRUE + 1
-    init_pts = np.tile(pts, (reps, 1))[:CAPACITY]
-    init_cols = np.tile(cols, (reps, 1))[:CAPACITY]
+    densify_on = os.environ.get("DENSIFY", "") not in ("", "0")
+    n_init = (CAPACITY * 9) // 10 if densify_on else CAPACITY
+    reps = n_init // N_TRUE + 1
+    init_pts = np.tile(pts, (reps, 1))[:n_init]
+    init_cols = np.tile(cols, (reps, 1))[:n_init]
     init_pts = init_pts + rng.normal(size=init_pts.shape) * 0.03
     params = init_from_point_cloud(init_pts, init_cols, capacity=CAPACITY)
     state = init_train_state(params, spatial_lr_scale=4.4)
@@ -83,9 +89,16 @@ def main():
           f"alive={int(np.asarray(params.alive).sum())}", flush=True)
 
     data = SceneData(cameras=cameras, images=images)
-    cfg = TrainConfig(optimization=OptimizationConfig(
-        densify_from_iter=10 ** 9, densify_until_iter=0,
-    ))
+    if densify_on:
+        cfg = TrainConfig(optimization=OptimizationConfig(
+            densify_from_iter=50, densify_until_iter=ITERS,
+            densification_interval=50,
+            opacity_reset_interval=10 ** 9,
+        ))
+    else:
+        cfg = TrainConfig(optimization=OptimizationConfig(
+            densify_from_iter=10 ** 9, densify_until_iter=0,
+        ))
     cfg.pipeline.rasterizer = "tiled"
 
     t0 = time.perf_counter()
@@ -99,7 +112,13 @@ def main():
           f"({ITERS/wall*W*H/1e6:.1f} Mpix/s single-render steps)")
     assert np.isfinite(h).all()
     assert np.mean(h[-3 * k:]) < np.mean(h[:3 * k]), "loss did not decrease"
-    print("OK: 1M-splat 1080p training run healthy")
+    alive_end = int(np.asarray(res.state.params.alive).sum())
+    print(f"alive at end: {alive_end:,} "
+          f"(capacity {res.state.params.capacity:,})")
+    if densify_on:
+        print("OK: 1M-splat 1080p training WITH DENSIFICATION healthy")
+    else:
+        print("OK: 1M-splat 1080p training run healthy")
 
 
 if __name__ == "__main__":
