@@ -368,9 +368,9 @@ class TestShardedStep:
         )
 
     def test_sharded_event_step_matches_plain(self, layered_scene):
-        """gauss=2, data=4, event mode vs the single-device step.
+        """gauss=2, data=2, event mode vs the single-device step.
 
-        All eight devices get the SAME view, so the batched mean loss and
+        All four devices get the SAME view, so the batched mean loss and
         its gradients equal the single-view ones, and the stats accumulate
         exactly 8 reference iterations' worth.  Parameter tolerance is
         Adam-step-sized where gradients are ~0 (first-step Adam normalizes
@@ -389,12 +389,16 @@ class TestShardedStep:
         s1, m1 = plain(state0, data, jnp.asarray(2), jnp.asarray(2),
                        jnp.asarray(3), jnp.zeros(3))
 
-        mesh = make_mesh(8, gauss=2)
+        # data=2 x gauss=2 (4 devices): same semantics as the former
+        # 8-device variant at half the interpret-mode cost (suite-budget
+        # trim, VERDICT r4 item 8); the 8-device mesh is still exercised
+        # by the slow-marked loop/orbit tests.
+        mesh = make_mesh(4, gauss=2)
         state_s = shard_train_state(state0, mesh)
         sharded = make_sharded_train_step(
             "event", opt, ev, mesh, spatial_lr_scale=3.0
         )
-        idx = jnp.full((8,), 2, jnp.int32)
+        idx = jnp.full((4,), 2, jnp.int32)
         s2, m2 = sharded(state_s, data, idx, idx, idx + 1, jnp.zeros(3))
 
         assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
@@ -403,14 +407,14 @@ class TestShardedStep:
             a = np.asarray(getattr(s1.params, f))
             b = np.asarray(getattr(s2.params, f))
             np.testing.assert_allclose(a, b, atol=3e-3, err_msg=f)
-        # stats: exactly 8 single-view accumulations
+        # stats: exactly B=4 single-view accumulations
         np.testing.assert_allclose(
-            np.asarray(s2.stats.denom), 8 * np.asarray(s1.stats.denom),
+            np.asarray(s2.stats.denom), 4 * np.asarray(s1.stats.denom),
             atol=1e-6,
         )
         np.testing.assert_allclose(
             np.asarray(s2.stats.grad_accum),
-            8 * np.asarray(s1.stats.grad_accum), atol=2e-3,
+            4 * np.asarray(s1.stats.grad_accum), atol=2e-3,
         )
         np.testing.assert_allclose(
             np.asarray(s2.stats.max_radii2d),

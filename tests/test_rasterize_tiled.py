@@ -77,28 +77,43 @@ class TestForwardParity:
         assert np.array(img).shape == np.array(img_small).shape
 
 
+@pytest.fixture(scope="module")
+def oracle_vs_tiled_grads():
+    """ALL five parameter gradients from ONE grad pass per rasterizer.
+
+    The per-parameter variant recompiled a full interpret-mode fwd+bwd per
+    argnums (5× ≈ 150 s on the 2-core bench box — the fast suite's worst
+    offender); a single argnums=(0..4) pass gives identical coverage.
+    """
+    cam, means, scales, rots, opac, colors, bg = scene(n=40, seed=3, w=128, h=48)
+    wgt = jnp.asarray(
+        np.random.default_rng(7).uniform(-1, 1, (cam.height, cam.width, 3)),
+        jnp.float32,
+    )
+
+    def loss(raster, m, s, r, o, c):
+        proj = project_gaussians(m, s, r, cam)
+        img = raster(proj, c, o, bg, cam.width, cam.height)
+        return jnp.sum(img * wgt)
+
+    argnums = (0, 1, 2, 3, 4)
+    gref = jax.grad(
+        lambda *a: loss(rasterize_reference, *a), argnums=argnums
+    )(means, scales, rots, opac, colors)
+    gfast = jax.grad(
+        lambda *a: loss(rasterize_tiled, *a), argnums=argnums
+    )(means, scales, rots, opac, colors)
+    return gref, gfast
+
+
 class TestGradientParity:
-    @pytest.mark.parametrize("argname", ["means", "scales", "opac", "colors", "rots"])
-    def test_grads_match_oracle(self, argname):
-        cam, means, scales, rots, opac, colors, bg = scene(n=40, seed=3, w=128, h=48)
-        wgt = jnp.asarray(
-            np.random.default_rng(7).uniform(-1, 1, (cam.height, cam.width, 3)),
-            jnp.float32,
-        )
-
-        def loss(raster, m, s, r, o, c):
-            proj = project_gaussians(m, s, r, cam)
-            img = raster(proj, c, o, bg, cam.width, cam.height)
-            return jnp.sum(img * wgt)
-
-        args = dict(means=0, scales=1, rots=2, opac=3, colors=4)
-        gref = jax.grad(
-            lambda *a: loss(rasterize_reference, *a), argnums=args[argname]
-        )(means, scales, rots, opac, colors)
-        gfast = jax.grad(
-            lambda *a: loss(rasterize_tiled, *a), argnums=args[argname]
-        )(means, scales, rots, opac, colors)
-        gref, gfast = np.array(gref), np.array(gfast)
+    @pytest.mark.parametrize(
+        "argname", ["means", "scales", "rots", "opac", "colors"]
+    )
+    def test_grads_match_oracle(self, argname, oracle_vs_tiled_grads):
+        gref_all, gfast_all = oracle_vs_tiled_grads
+        i = ["means", "scales", "rots", "opac", "colors"].index(argname)
+        gref, gfast = np.array(gref_all[i]), np.array(gfast_all[i])
         assert np.isfinite(gfast).all()
         scale = np.abs(gref).max() + 1e-8
         np.testing.assert_allclose(gfast / scale, gref / scale, atol=2e-4,

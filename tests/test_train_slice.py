@@ -231,7 +231,7 @@ class TestBaselineConfig1:
         from event3dgs_tpu.utils.config import TrainConfig
 
         scene_dir = str(tmp_path / "scene")
-        synthesize_scene(scene_dir, n_views=40, width=64, height=64,
+        synthesize_scene(scene_dir, n_views=30, width=64, height=64,
                          n_gaussians=80, white_background=True)
 
         cfg = TrainConfig()
@@ -243,7 +243,7 @@ class TestBaselineConfig1:
         cfg.optimization.densification_interval = 100
         info, data, state, extent = load_scene_and_state(cfg)
 
-        res = train_loop(state, data, cfg, "gray", extent, iterations=300)
+        res = train_loop(state, data, cfg, "gray", extent, iterations=200)
         assert res.history[-1] < res.history[0]
 
         out = evaluate_holdout(
