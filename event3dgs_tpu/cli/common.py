@@ -57,6 +57,11 @@ def add_pipeline_args(p: argparse.ArgumentParser):
         help="gauss-axis compositing strategy: exact per-view splat "
              "exchange (default) or approximate image-partials merge",
     )
+    p.add_argument(
+        "--fused_steps", type=int, default=1,
+        help="fuse up to N train steps per device dispatch (lax.scan) "
+             "between host events; 1 = per-step dispatch",
+    )
 
 
 def add_optimization_args(p: argparse.ArgumentParser):
@@ -114,6 +119,7 @@ def config_from_args(args) -> TrainConfig:
         pipeline=PipelineConfig(
             rasterizer=getattr(args, "rasterizer", "tiled"),
             gauss_mode=getattr(args, "gauss_mode", "exact"),
+            fused_steps=getattr(args, "fused_steps", 1),
         ),
         optimization=OptimizationConfig(
             **{

@@ -188,30 +188,90 @@ def train_loop(
     key = jax.random.PRNGKey(cfg.seed)
     np_rng = np.random.default_rng(cfg.seed)
 
-    history = []
-    t0 = time.perf_counter()
-    for it in range(1, iters + 1):
+    # --- fused multi-step dispatch (opt-in, pipeline.fused_steps > 1) ----
+    # Between host events (log ticks, densify/opacity/recheck cadences,
+    # save/checkpoint/test iterations) consecutive steps are independent of
+    # host decisions, so up to `fused_steps` of them run as ONE lax.scan
+    # dispatch — recovering the per-dispatch overhead (PROFILE_r5.md §4)
+    # with an identical step sequence (view indices and random backgrounds
+    # are drawn host-side in the same order).  Chunks never CROSS an event
+    # iteration; they may end on one.
+    fused = max(int(getattr(cfg.pipeline, "fused_steps", 1)), 1)
+    scan_cache: dict = {}
+
+    def next_event(it0: int) -> int:
+        """Smallest iteration ≥ it0 at which any host-side action fires."""
+        cands = [iters]
+        for interval in (
+            callbacks.log_every,
+            opt.densification_interval,
+            opacity_reset_interval,
+            INSTANCE_RECHECK_INTERVAL,
+        ):
+            if interval and interval > 0:
+                cands.append(((it0 + interval - 1) // interval) * interval)
+        for lst in (cfg.save_iterations, cfg.checkpoint_iterations,
+                    cfg.test_iterations, (opt.densify_from_iter,)):
+            cands.extend(t for t in lst if t >= it0)
+        return min(c for c in cands if c >= it0)
+
+    def get_scan(k: int):
+        fn = scan_cache.get((id(step_fn), k))
+        if fn is None:
+            def run_k(st, idx3, bgs):
+                def body(st, xs):
+                    i3, bgv = xs
+                    st, m = step_fn(st, data, i3[0], i3[1], i3[2], bgv)
+                    return st, m
+                return jax.lax.scan(body, st, (idx3, bgs))
+
+            fn = jax.jit(run_k)
+            scan_cache[(id(step_fn), k)] = fn
+        return fn
+
+    def draw_iter_inputs():
         idx = pick_view_index(view_rng, data.num_views, mode, holdout)
         iter_bg = (
             jnp.asarray(np_rng.uniform(size=3), jnp.float32)
             if opt.random_background
             else bg
         )
-        state, metrics = step_fn(
-            state,
-            data,
-            jnp.asarray(idx),
-            jnp.asarray(idx),
-            jnp.asarray(idx + 1),
-            iter_bg,
-        )
+        return idx, iter_bg
+
+    history = []
+    t0 = time.perf_counter()
+    it = 0
+    while it < iters:
+        k = min(fused, next_event(it + 1) - it) if fused > 1 else 1
+        if k > 1:
+            draws = [draw_iter_inputs() for _ in range(k)]
+            idx3 = jnp.asarray(
+                [[d[0], d[0], d[0] + 1] for d in draws], jnp.int32
+            )
+            bgs = jnp.stack([d[1] for d in draws])
+            state, ms = get_scan(k)(state, idx3, bgs)
+            losses = np.asarray(ms["loss"])
+            history.extend(float(x) for x in losses)
+            metrics = jax.tree.map(lambda x: x[-1], ms)
+            it += k
+        else:
+            idx, iter_bg = draw_iter_inputs()
+            state, metrics = step_fn(
+                state,
+                data,
+                jnp.asarray(idx),
+                jnp.asarray(idx),
+                jnp.asarray(idx + 1),
+                iter_bg,
+            )
+            history.append(float(metrics["loss"]))
+            it += 1
 
         if it % callbacks.log_every == 0:
             if callbacks.on_metrics:
                 callbacks.on_metrics(it, jax.device_get(metrics))
             if callbacks.on_tick:
                 callbacks.on_tick(it, state)
-        history.append(float(metrics["loss"]))
 
         # Densification (`train.py:316-327`), with capacity growth: when
         # candidates outnumber free slots the buffers grow (re-jit) and the

@@ -49,6 +49,13 @@ class PipelineConfig:
     # "partials" = per-shard image partials + rank-ordered merge
     # (approximate; cheaper comms when N >> K*H*W on forward-facing rigs)
     gauss_mode: str = "exact"
+    # TPU-build addition: fuse up to this many train steps into one
+    # lax.scan dispatch between host events (logging/densify/save
+    # boundaries are never crossed).  Recovers the per-dispatch overhead
+    # (~6 ms/step through the axon relay, PROFILE_r5.md §4) at the cost of
+    # coarser live-metric/GUI latency.  1 = reference-faithful per-step
+    # dispatch (default).
+    fused_steps: int = 1
 
 
 @dataclass

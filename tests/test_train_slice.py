@@ -215,6 +215,47 @@ class TestDeblurSlice:
         assert tail < head, (head, tail)
 
 
+class TestFusedSteps:
+    def test_fused_loop_matches_per_step(self, scene):
+        """pipeline.fused_steps > 1 must reproduce the per-step loop: same
+        view sequence, same losses (one lax.scan dispatch per chunk instead
+        of per-step dispatch; PROFILE_r5.md §4)."""
+        from dataclasses import replace as dc_replace
+
+        from event3dgs_tpu.train import train_loop
+
+        def run(fused):
+            state = build_state(scene)
+            data = SceneData(cameras=scene.cameras, images=scene.images)
+            cfg = TrainConfig(
+                optimization=OptimizationConfig(
+                    densify_from_iter=10_000, densify_until_iter=0,
+                )
+            )
+            cfg = dc_replace(
+                cfg, pipeline=dc_replace(cfg.pipeline, fused_steps=fused)
+            )
+            return train_loop(state, data, cfg, mode="rgb",
+                              extent=scene.extent, iterations=25)
+
+        r1 = run(1)
+        r8 = run(8)
+        assert len(r1.history) == len(r8.history) == 25
+        np.testing.assert_allclose(r8.history, r1.history, rtol=2e-5,
+                                   atol=1e-6)
+        # The loss sequence is the exactness pin (identical step semantics
+        # and view order).  Parameters get the Adam-amplified tolerance the
+        # sharded-parity test also uses: the scan-traced and standalone
+        # steps compile to slightly different fusions, and first-step Adam
+        # normalizes any f32-level gradient difference to +-lr.
+        for f in ("xyz", "opacity", "scaling"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(r8.state.params, f)),
+                np.asarray(getattr(r1.state.params, f)), atol=3e-3,
+                err_msg=f,
+            )
+
+
 class TestBaselineConfig1:
     def test_config1_end_to_end_smoke(self, tmp_path):
         """BASELINE config 1: a synthesized train_colmap_easy-style scene
