@@ -50,13 +50,26 @@ def init_stats(capacity: int) -> DensifyStats:
 
 def update_stats(
     stats: DensifyStats,
-    mean2d_grad: jnp.ndarray,  # [C, 2] gradient from the render tap
+    mean2d_grad: jnp.ndarray,  # [C, 2] gradient from the render tap (PIXEL units)
     radii: jnp.ndarray,  # [C]
     visibility: jnp.ndarray,  # [C] bool
+    grad_scale: tuple[float, float] = (1.0, 1.0),
 ) -> DensifyStats:
-    """Per-iteration stats accumulation (`train.py:317-320`)."""
+    """Per-iteration stats accumulation (`train.py:317-320`).
+
+    ``grad_scale`` must be ``(0.5*W, 0.5*H)`` of the render: the reference
+    CUDA backward emits mean2D gradients PRE-SCALED by the NDC→pixel
+    Jacobian halves (`backward.cu: ddelx_dx = 0.5*W, ddely_dy = 0.5*H`),
+    which is what makes its 2e-4 densify threshold resolution-independent.
+    Our tap gradient is w.r.t. raw pixel coordinates, so it must be scaled
+    here — without it the threshold is effectively (W/2)× stricter and
+    densification silently never fires (the round-4 "densify never adds
+    quality" mystery: at 400×400 the raw-pixel norms are ~200× below the
+    reference's scale).
+    """
     vis = visibility.astype(jnp.float32)
-    gnorm = jnp.linalg.norm(mean2d_grad, axis=-1)
+    scaled = mean2d_grad * jnp.asarray(grad_scale, mean2d_grad.dtype)
+    gnorm = jnp.linalg.norm(scaled, axis=-1)
     return DensifyStats(
         grad_accum=stats.grad_accum + gnorm * vis,
         denom=stats.denom + vis,

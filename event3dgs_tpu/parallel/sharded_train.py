@@ -339,9 +339,16 @@ def make_sharded_train_step(
         # densify stats: per-view accumulation (B reference iterations'
         # worth per step); ×B undoes the loss's batch-mean normalization.
         # exact mode shapes carry an extra group-view axis: [B, K, C/K].
+        # The (0.5W, 0.5H) factor matches the reference CUDA backward's
+        # NDC-Jacobian pre-scaling of mean2D gradients (models/densify.py:
+        # update_stats) — the 2e-4 threshold is defined at that scale.
         view_axes = (0, 1) if exact else (0,)
         vis_f = vis.astype(jnp.float32)
-        gnorm = jnp.linalg.norm(g_taps, axis=-1) * b_global
+        g_taps_scaled = g_taps * jnp.asarray(
+            [0.5 * data.cameras.width, 0.5 * data.cameras.height],
+            g_taps.dtype,
+        )
+        gnorm = jnp.linalg.norm(g_taps_scaled, axis=-1) * b_global
         acc = jax.lax.psum(jnp.sum(gnorm * vis_f, axis=view_axes), DATA_AXIS)
         den = jax.lax.psum(jnp.sum(vis_f, axis=view_axes), DATA_AXIS)
         rmax = jax.lax.pmax(

@@ -190,8 +190,13 @@ def make_train_step(
         else:
             new_contrast, new_copt = state.contrast, state.contrast_opt
 
-        # densification statistics from the main view (`train.py:317-320`)
-        new_stats = update_stats(state.stats, g_tap, aux["radii"], aux["visibility"])
+        # densification statistics from the main view (`train.py:317-320`);
+        # the (0.5W, 0.5H) scale matches the reference CUDA backward's
+        # NDC-Jacobian pre-scaling (see update_stats)
+        new_stats = update_stats(
+            state.stats, g_tap, aux["radii"], aux["visibility"],
+            grad_scale=(0.5 * cam_main.width, 0.5 * cam_main.height),
+        )
 
         metrics = {
             "loss": loss,
