@@ -213,6 +213,66 @@ class TestDensify:
         assert int(num_alive(res.params)) == 10
 
 
+class TestDensifyGradScale:
+    def test_stats_resolution_independent(self):
+        """The densify threshold (2e-4) must be resolution-independent, as
+        in the reference whose CUDA backward pre-scales mean2D gradients by
+        (0.5W, 0.5H) (`backward.cu: ddelx_dx = 0.5*W`).  The same scene
+        rendered at two resolutions yields pixel-space tap gradients that
+        differ by ~the resolution ratio; after update_stats' grad_scale
+        they must agree."""
+        from event3dgs_tpu.core import make_camera
+        from event3dgs_tpu.models.densify import DensifyStats, update_stats
+        from event3dgs_tpu.ops import project_gaussians
+        from event3dgs_tpu.ops.rasterize_reference import rasterize_reference
+
+        rng = np.random.default_rng(0)
+        n = 12
+        means = jnp.asarray(np.c_[rng.uniform(-0.5, 0.5, n),
+                                  rng.uniform(-0.3, 0.3, n),
+                                  rng.uniform(2, 4, n)], jnp.float32)
+        scales = jnp.asarray(np.full((n, 3), 0.08), jnp.float32)
+        rots = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+        opac = jnp.asarray(rng.uniform(0.4, 0.9, n), jnp.float32)
+        colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+        bg = jnp.zeros(3)
+
+        def accum(w, h):
+            cam = make_camera(np.eye(3), np.zeros(3), 1.0, 1.0, w, h)
+
+            def loss(tap):
+                proj = project_gaussians(means, scales, rots, cam)
+                proj = proj._replace(mean2d=proj.mean2d + tap)
+                img = rasterize_reference(proj, colors, opac, bg, w, h)
+                # mean-normalized photometric loss (resolution-invariant)
+                return jnp.mean(jnp.abs(img - 0.25))
+
+            g = jax.grad(loss)(jnp.zeros((n, 2)))
+            stats = DensifyStats(
+                grad_accum=jnp.zeros(n), denom=jnp.zeros(n),
+                max_radii2d=jnp.zeros(n),
+            )
+            proj = project_gaussians(means, scales, rots, cam)
+            return update_stats(stats, g, proj.radius, proj.valid,
+                                grad_scale=(0.5 * w, 0.5 * h))
+
+        lo = accum(64, 64)
+        hi = accum(128, 128)
+        a = np.asarray(lo.grad_accum)
+        b = np.asarray(hi.grad_accum)
+        mask = (np.asarray(lo.denom) > 0) & (np.asarray(hi.denom) > 0)
+        assert mask.sum() >= 8
+        # NDC-scaled norms agree across resolutions up to discretization
+        # error (a 64px render quantizes splat support coarsely): median
+        # ratio ~1 and no element off by more than 2x.  Without grad_scale
+        # the ratio would be ~2 everywhere (the bug this pins: raw
+        # pixel-space norms scale with resolution, starving densification
+        # at the reference's 2e-4 threshold).
+        ratio = b[mask] / np.maximum(a[mask], 1e-12)
+        assert 0.8 < float(np.median(ratio)) < 1.25, ratio
+        assert float(ratio.max()) < 2.0 and float(ratio.min()) > 0.5, ratio
+
+
 class TestResetOpacity:
     def test_clamps_and_zeroes_moments(self):
         p = small_model(10, 32)
