@@ -232,8 +232,13 @@ class TestFusedSteps:
                     densify_from_iter=10_000, densify_until_iter=0,
                 )
             )
+            # oracle rasterizer: the fused-vs-per-step semantics are
+            # rasterizer-independent, and interpret-mode tiled compiles
+            # dominate this test's cost otherwise
             cfg = dc_replace(
-                cfg, pipeline=dc_replace(cfg.pipeline, fused_steps=fused)
+                cfg, pipeline=dc_replace(
+                    cfg.pipeline, fused_steps=fused, rasterizer="reference"
+                )
             )
             return train_loop(state, data, cfg, mode="rgb",
                               extent=scene.extent, iterations=25)
