@@ -440,7 +440,11 @@ class TestShardedLoop:
         cfg.pipeline.rasterizer = "tiled"
         cfg.optimization.densify_from_iter = 4
         cfg.optimization.densification_interval = 8
-        cfg.optimization.densify_grad_threshold = 1e-5
+        # reference-default threshold: stats are NDC-scaled since the
+        # round-5 grad-scale fix, so 2e-4 is now the calibrated value (the
+        # old 1e-5 was tuned to the pre-fix pixel-space norms and fires on
+        # every visible splat after the fix, churning the model)
+        cfg.optimization.densify_grad_threshold = 2e-4
         mesh = make_mesh(8, gauss=2)
         seen = []
         cb = TrainCallbacks(
@@ -459,10 +463,10 @@ class TestShardedLoop:
         assert np.isfinite(res.history).all()
         assert res.history[-1] < res.history[0]
         assert int(res.state.step) == 64
-        # densify fired and alive stayed sane (fixed densify stats keep the
-        # growth in the same regime as the single-device loop — the round-3
-        # inflated stats grew 40 → ~700 here)
-        assert 40 <= int(res.state.params.alive.sum()) <= 120
+        # densify fired (grew past the 40 init splats) and stayed sane
+        # (bounded well below capacity-runaway)
+        n_alive = int(res.state.params.alive.sum())
+        assert 40 < n_alive <= 256, n_alive
 
 
 @pytest.mark.slow
